@@ -1,0 +1,153 @@
+"""Point-cloud ops: FPS, kNN, ball query, grouping, 3-NN interpolation.
+
+TPU-native rebirth of the reference's dormant CUDA extensions
+(vla/datasets/cpp/{pointops,pointnet2_batch}, SURVEY.md section 2.9) and of
+the pure-torch fallbacks actually used on the active path
+(models/mla/pointcloud/backbone/Point_PN.py:6-94).
+
+Design:
+  * Everything is batched, statically shaped, vmap/jit-friendly.
+  * FPS is the only sequential op: a `lax.fori_loop` carrying the per-point
+    min-distance field; each iteration is one fused distance update + argmax
+    over N points — the whole loop stays on-chip (VPU), no host sync.
+    `deterministic=True` starts from point 0 (bit-reproducible; the
+    reference seeds with torch.randint, Point_PN.py:10 — stochastic).
+  * kNN is one [S, N] distance matrix (MXU matmul) + top_k.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise squared L2: src [..., N, C], dst [..., M, C] -> [..., N, M].
+
+    Uses |a|^2 + |b|^2 - 2ab so the inner term rides the MXU
+    (reference Point_PN.py:23-42 computes the same decomposition)."""
+    inner = jnp.einsum("...nc,...mc->...nm", src, dst, preferred_element_type=jnp.float32)
+    s2 = jnp.sum(src.astype(jnp.float32) ** 2, axis=-1)[..., :, None]
+    d2 = jnp.sum(dst.astype(jnp.float32) ** 2, axis=-1)[..., None, :]
+    return s2 + d2 - 2.0 * inner
+
+
+def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched gather: points [B, N, C], idx [B, ...] -> [B, ..., C]
+    (reference Point_PN.py:44-60)."""
+    return jax.vmap(lambda p, i: jnp.take(p, i, axis=0))(points, idx)
+
+
+def furthest_point_sample(
+    xyz: jnp.ndarray,
+    npoint: int,
+    *,
+    key: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """FPS indices [B, npoint] for xyz [B, N, 3].
+
+    Matches the reference algorithm (Point_PN.py:6-21): iteratively pick the
+    point furthest from the selected set, tracking the running min distance.
+    Start point: index 0 when deterministic (bit-match mode), else uniform
+    random per batch element via `key` (reference uses torch.randint)."""
+    B, N, _ = xyz.shape
+    xyzf = xyz.astype(jnp.float32)
+    if deterministic or key is None:
+        farthest0 = jnp.zeros((B,), dtype=jnp.int32)
+    else:
+        farthest0 = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
+
+    batch_ar = jnp.arange(B)
+
+    def body(i, carry):
+        fps_idx, distance, farthest = carry
+        fps_idx = fps_idx.at[:, i].set(farthest)
+        centroid = xyzf[batch_ar, farthest][:, None, :]  # [B,1,3]
+        dist = jnp.sum((xyzf - centroid) ** 2, axis=-1)  # [B,N]
+        distance = jnp.minimum(distance, dist)
+        farthest = jnp.argmax(distance, axis=-1).astype(jnp.int32)
+        return fps_idx, distance, farthest
+
+    fps_idx0 = jnp.zeros((B, npoint), dtype=jnp.int32)
+    dist0 = jnp.full((B, N), 1e10, dtype=jnp.float32)
+    fps_idx, _, _ = jax.lax.fori_loop(0, npoint, body, (fps_idx0, dist0, farthest0))
+    return fps_idx
+
+
+def knn(nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray) -> jnp.ndarray:
+    """k nearest neighbors: xyz [B,N,3], new_xyz [B,S,3] -> idx [B,S,k]
+    (reference knn_point, Point_PN.py:62-73). Downstream aggregation is
+    order-invariant (max-pool), so neighbor ordering may differ from torch's
+    unsorted topk."""
+    d = square_distance(new_xyz, xyz)  # [B,S,N]
+    _, idx = jax.lax.top_k(-d, nsample)
+    return idx
+
+
+def ball_query(
+    radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray
+) -> jnp.ndarray:
+    """Fixed-radius neighborhood query (parity with pointops ballquery CUDA
+    kernel, vla/datasets/cpp/pointops/src/ballquery). Returns [B,S,nsample]
+    indices; slots beyond the in-radius count repeat the first in-radius
+    neighbor (the CUDA kernel's convention)."""
+    d = square_distance(new_xyz, xyz)  # [B,S,N]
+    in_ball = d <= radius * radius
+    # order candidates: in-ball points by index order, others pushed to +inf
+    N = xyz.shape[1]
+    order_key = jnp.where(in_ball, jnp.arange(N, dtype=jnp.float32)[None, None, :], jnp.inf)
+    _, idx = jax.lax.top_k(-order_key, nsample)  # smallest index first
+    # replicate first valid neighbor into empty slots
+    has_any = jnp.any(in_ball, axis=-1, keepdims=True)
+    first = idx[..., :1]
+    count = jnp.sum(in_ball, axis=-1, keepdims=True)
+    slot = jnp.arange(nsample)[None, None, :]
+    idx = jnp.where(slot < count, idx, first)
+    idx = jnp.where(has_any, idx, 0)
+    return idx
+
+
+def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """points [B,N,C], idx [B,S,k] -> [B,S,k,C] (pointnet2 group_points)."""
+    return index_points(points, idx)
+
+
+def three_nn_interpolate(
+    unknown_xyz: jnp.ndarray,
+    known_xyz: jnp.ndarray,
+    known_feats: jnp.ndarray,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Inverse-distance-weighted 3-NN feature interpolation
+    (pointnet2 three_nn + three_interpolate; vla/datasets/cpp/pointnet2_batch
+    src/interpolate). unknown [B,N,3], known [B,M,3], feats [B,M,C] -> [B,N,C]."""
+    d = square_distance(unknown_xyz, known_xyz)  # [B,N,M]
+    neg_d3, idx3 = jax.lax.top_k(-d, 3)
+    w = 1.0 / (-neg_d3 + eps)  # [B,N,3]
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    gathered = index_points(known_feats, idx3)  # [B,N,3,C]
+    return jnp.sum(gathered * w[..., None].astype(gathered.dtype), axis=-2)
+
+
+def fps_knn(
+    xyz: jnp.ndarray,
+    feats: jnp.ndarray,
+    group_num: int,
+    k_neighbors: int,
+    *,
+    key: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The FPS_kNN stage of Point_PN (reference Point_PN.py:76-94):
+    returns (lc_xyz, lc_x, knn_xyz, knn_x, fps_idx, knn_idx)."""
+    fps_idx = furthest_point_sample(xyz, group_num, key=key, deterministic=deterministic)
+    lc_xyz = index_points(xyz, fps_idx)
+    lc_x = index_points(feats, fps_idx)
+    knn_idx = knn(k_neighbors, xyz, lc_xyz)
+    knn_xyz = index_points(xyz, knn_idx)
+    knn_x = index_points(feats, knn_idx)
+    return lc_xyz, lc_x, knn_xyz, knn_x, fps_idx, knn_idx

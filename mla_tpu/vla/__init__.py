@@ -1,0 +1,3 @@
+from mla_tpu.vla.action_tokenizer import ActionTokenizer
+
+__all__ = ["ActionTokenizer"]

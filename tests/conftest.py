@@ -1,0 +1,29 @@
+"""Test harness config: force CPU backend with 8 virtual devices so
+multi-chip sharding paths (Mesh/pjit) are exercised without TPU hardware.
+Must run before anything imports jax."""
+
+import os
+import sys
+
+# force CPU even if the ambient env points at a TPU platform; the axon TPU
+# plugin registers whenever PALLAS_AXON_TPU_GEN is set, so clear it too.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_TPU_GEN", None)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# repo root importable without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# persistent compilation cache: re-runs skip XLA compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mla_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# Belt and braces: pytest plugins may import jax before this conftest runs,
+# in which case the env vars above are too late — but the backend itself
+# initializes lazily, so forcing the platform through jax.config still works.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
