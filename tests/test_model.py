@@ -1,0 +1,213 @@
+"""Composed-model tests on the tiny-but-complete config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mla_tpu.diffusion import gaussian as gd
+from mla_tpu.models import llama as llama_mod
+from mla_tpu.models import mla as mla_mod
+from mla_tpu.models import prismatic
+
+from tiny import tiny_batch, tiny_config, tiny_model
+
+
+def test_splice_map_layout():
+    """The gather map must reproduce the reference's ragged concatenation."""
+    L, F, d = 10, 5, 3
+    splice = jnp.array([7, 4])
+    idx = np.asarray(prismatic.build_splice_map(L, F, d, splice))
+    S = L + F + d
+    assert idx.shape == (2, S)
+
+    # sample 0, splice=7: [text0 | fused0..4 | text1..6 | diff0..2 | text7..9]
+    want0 = [0] + [L + i for i in range(F)] + list(range(1, 7)) + [L + F + i for i in range(d)] + list(range(7, L))
+    assert list(idx[0]) == want0
+    want1 = [0] + [L + i for i in range(F)] + list(range(1, 4)) + [L + F + i for i in range(d)] + list(range(4, L))
+    assert list(idx[1]) == want1
+
+
+@pytest.fixture(scope="module")
+def diff_model():
+    cfg = tiny_config(use_diff=True, use_contrastive=True)
+    params, state = tiny_model(cfg)
+    return cfg, params, state
+
+
+def test_fused_tokens_shapes(diff_model):
+    cfg, params, state = diff_model
+    batch = tiny_batch(cfg)
+    out = prismatic.get_fused_tokens(
+        params, state, cfg, batch["images"], batch["point_cloud"], None, None
+    )
+    F = cfg.fused_len
+    assert out["fused"].shape == (2, F, cfg.token_size)
+    assert F == 16 + 16 + 1
+    assert out["patch_indices"].shape == (2, 16, 2)
+    assert out["valid_mask"].shape == (2, 16)
+    assert bool(out["valid_mask"].any()), "some workspace points must project into frame"
+
+
+def test_vlm_forward_diff(diff_model):
+    cfg, params, state = diff_model
+    batch = tiny_batch(cfg)
+    B = 2
+    batch["x"] = jnp.zeros((B, cfg.action_horizon, cfg.action_dim))
+    batch["t"] = jnp.array([3, 50])
+    outputs, new_state = prismatic.vlm_forward(
+        params, state, cfg, batch, training=True, rng=jax.random.PRNGKey(0)
+    )
+    assert outputs["noise_pred"].shape == (B, cfg.action_horizon, cfg.action_dim)
+    assert "img_pc_contrastive_loss" in outputs
+    assert np.isfinite(float(outputs["img_pc_contrastive_loss"]))
+
+
+def test_train_loss_diff(diff_model):
+    cfg, params, state = diff_model
+    batch = tiny_batch(cfg)
+    sched = gd.create_schedule("", diffusion_steps=100)
+    total, (loss_dict, new_state) = mla_mod.mla_train_loss(
+        params, state, cfg, sched, batch, jax.random.PRNGKey(1),
+        repeated_diffusion_steps=2, remat=False,
+    )
+    assert np.isfinite(float(total))
+    assert float(loss_dict["diff_loss"]) > 0
+    assert float(loss_dict["total_loss"]) == pytest.approx(
+        float(loss_dict["diff_loss"]) + float(loss_dict["img_pc_contrastive_loss"]), rel=1e-5
+    )
+
+
+def test_train_loss_gradable(diff_model):
+    """value_and_grad through the full training loss must produce finite,
+    nonzero grads for the core modules."""
+    cfg, params, state = diff_model
+    batch = tiny_batch(cfg)
+    sched = gd.create_schedule("", diffusion_steps=100)
+
+    def loss_fn(p):
+        total, _ = mla_mod.mla_train_loss(
+            p, state, cfg, sched, batch, jax.random.PRNGKey(2),
+            repeated_diffusion_steps=1, remat=False,
+        )
+        return total
+
+    grads = jax.grad(loss_fn)(params)
+    gnorm = jnp.sqrt(
+        sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree_util.tree_leaves(grads))
+    )
+    assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+    # fc2 is zero-init (so fc1's grad is zero at step 0, as in the
+    # reference); fc2 itself and the llm must receive gradient
+    assert float(jnp.abs(grads["final_layer"]["mlp"]["fc2"]["w"]).max()) > 0
+    assert float(jnp.abs(grads["llm_backbone"]["layers"]["attn"]["q"]["w"]).max()) > 0
+
+
+def test_train_loss_ar():
+    cfg = tiny_config(use_diff=False, use_contrastive=True)
+    params, state = tiny_model(cfg)
+    batch = tiny_batch(cfg)
+    sched = gd.create_schedule("", diffusion_steps=100)
+    total, (loss_dict, _) = mla_mod.mla_train_loss(
+        params, state, cfg, sched, batch, jax.random.PRNGKey(3), remat=False
+    )
+    assert float(loss_dict["ar_loss"]) > 0
+    assert np.isfinite(float(total))
+
+
+def test_generation_stage():
+    cfg = tiny_config(use_generation=True, use_roi=True)
+    params, state = tiny_model(cfg)
+    batch = tiny_batch(cfg)
+    sched = gd.create_schedule("", diffusion_steps=100)
+    total, (loss_dict, new_state) = mla_mod.mla_train_loss(
+        params, state, cfg, sched, batch, jax.random.PRNGKey(4),
+        repeated_diffusion_steps=1, remat=False,
+    )
+    assert np.isfinite(float(total))
+    assert float(loss_dict["point_cloud_gen_loss"]) > 0
+    assert abs(float(loss_dict["image_gen_loss"])) > 0
+
+
+def test_tactile_stage():
+    cfg = tiny_config(use_tactile=True)
+    params, state = tiny_model(cfg)
+    batch = tiny_batch(cfg)
+    sched = gd.create_schedule("", diffusion_steps=100)
+    total, (loss_dict, _) = mla_mod.mla_train_loss(
+        params, state, cfg, sched, batch, jax.random.PRNGKey(5),
+        repeated_diffusion_steps=1, remat=False,
+    )
+    assert np.isfinite(float(total))
+    assert np.isfinite(float(loss_dict["tactile_contrastive_loss"]))
+
+
+def test_prefix_cache_diffusion_is_exact(diff_model):
+    """The KV-cached suffix denoise step must match the full-sequence
+    forward bit-for-bit (up to fp accumulation) — this validates the
+    latency optimization against the reference's full recompute."""
+    cfg, params, state = diff_model
+    B, L = 1, 14
+    batch = tiny_batch(cfg, B=B, L=L, training=False)
+    # inference layout: ids end with ... 29871 at position splice_idx
+    ids = np.asarray(batch["input_ids"])
+    splice = int(np.asarray(batch["splice_idx"])[0])
+    # truncate at the tag: conditioning ids = [..., 29871] as in
+    # predict_action_diff (prefix = ids[:splice], tail = ids[splice])
+    ids_infer = ids[:, : splice + 1]
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, cfg.action_horizon, cfg.action_dim)).astype(np.float32))
+    t = jnp.array([42])
+
+    # --- path A: full-sequence vlm_forward (reference style) ---
+    full_batch = dict(batch)
+    full_batch["input_ids"] = jnp.asarray(ids_infer)
+    full_batch["attention_mask"] = jnp.ones_like(jnp.asarray(ids_infer), dtype=bool)
+    full_batch.pop("labels")
+    full_batch["splice_idx"] = jnp.array([splice])
+    full_batch["x"] = x
+    full_batch["t"] = t
+    out_full, _ = prismatic.vlm_forward(params, state, cfg, full_batch, training=False, use_diff=True)
+    eps_full = np.asarray(out_full["noise_pred"], dtype=np.float32)
+
+    # --- path B: prefix KV cache + suffix forward ---
+    prefix_ids = jnp.asarray(ids_infer[:, :-1])
+    tail_ids = jnp.asarray(ids_infer[:, -1:])
+    prefix = mla_mod.build_prefix_embeds(
+        params, state, cfg, prefix_ids, batch["images"], batch.get("point_cloud")
+    )
+    cache_max = prefix.shape[1] + 2 + cfg.action_horizon + 1 + 8
+    kv, _ = mla_mod.prefill(params, cfg, prefix, cache_max, compute_logits=False)
+    denoise_fn = mla_mod.make_suffix_denoise_fn(
+        params, cfg, kv, prefix.shape[1], batch["proprio"], tail_ids
+    )
+    eps_cached = np.asarray(denoise_fn(x, t))
+
+    np.testing.assert_allclose(eps_cached, eps_full, atol=2e-4)
+
+
+def test_policy_predict_roundtrip(diff_model):
+    """End-to-end MLAPolicy.predict_action_diff + _ar on synthetic inputs."""
+    cfg, params, state = diff_model
+    stats = {
+        "rlbench": {
+            "action": {"q01": [-1.0] * 7, "q99": [1.0] * 7},
+            "proprio": {"q01": [-1.0] * 7, "q99": [1.0] * 7},
+        }
+    }
+    policy = mla_mod.MLAPolicy(params, state, cfg, tokenizer=None, norm_stats=stats, num_ddim_steps=2)
+    rng = np.random.default_rng(0)
+    img = np.concatenate(
+        [rng.normal(size=(3, 168, 168)).astype(np.float32), np.ones((1, 168, 168), np.float32)]
+    )
+    pc = rng.uniform(-0.3, 0.7, size=(cfg.point.input_points, 3)).astype(np.float32)
+    ids = np.array([[1, 500, 600, 700, 29871]], dtype=np.int32)
+
+    act = policy.predict_action_diff(img, pc, "close the box", input_ids=ids)
+    assert act.shape == (cfg.action_horizon, cfg.action_dim)
+    assert np.isfinite(act).all()
+    assert set(np.unique(act[:, 6])) <= {0.0, 1.0}  # gripper binarized
+
+    ids_ar = np.array([[1, 500, 600, 700, 29871]], dtype=np.int32)
+    act_ar = policy.predict_action_ar(img, pc, "close the box", input_ids=ids_ar)
+    assert act_ar.shape == (cfg.action_dim,)
+    assert np.isfinite(act_ar).all()
