@@ -1,0 +1,113 @@
+"""Model-architecture registry.
+
+Parity target: reference conf/models.py ModelConfig registry (the prismatic
+model zoo) — here each entry materializes a complete MLAModelConfig. The
+flagship deployment config is `mla-7b` (Llama-2-7B backbone,
+models/backbones/llm/llama2.py:24-51); smaller presets exist for
+compile-checks and CI.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Callable, Dict
+
+import jax.numpy as jnp
+
+from mla_tpu.models import generation as gen_mod
+from mla_tpu.models import llama as llama_mod
+from mla_tpu.models import point_tokenizer as pt_mod
+from mla_tpu.models import prismatic
+from mla_tpu.models import vision_tokenizer as vt_mod
+
+
+def _gen_cfg(token_size: int, use_generation: bool, use_tactile: bool, use_roi: bool):
+    return gen_mod.GenerationConfig(
+        token_size=token_size,
+        use_image=use_generation,
+        use_pointcloud=use_generation,
+        use_tactile=use_generation and use_tactile,
+        image=gen_mod.ImageGenConfig(token_size=token_size, use_roi=use_roi),
+        point=gen_mod.PointGenConfig(token_size=token_size),
+        tactile=gen_mod.TactileGenConfig(token_size=token_size),
+    )
+
+
+def mla_7b(
+    use_diff: bool = True,
+    use_pointcloud: bool = True,
+    use_tactile: bool = False,
+    use_contrastive: bool = True,
+    use_generation: bool = False,
+    use_roi: bool = False,
+    camera_name: str = "rlbench_front",
+    param_dtype=jnp.bfloat16,
+    **kw,
+) -> prismatic.MLAModelConfig:
+    """Flagship: Llama-2-7B + 672px vision tokenizer + 1024-pt Point-PN."""
+    llama_cfg = replace(llama_mod.LLAMA2_7B, param_dtype=param_dtype)
+    return prismatic.MLAModelConfig(
+        llama=llama_cfg,
+        vision=vt_mod.VisionTokenizerConfig(),
+        point=pt_mod.PointTokenizerConfig(),
+        gen=_gen_cfg(4096, use_generation, use_tactile, use_roi),
+        use_diff=use_diff, use_pointcloud=use_pointcloud, use_tactile=use_tactile,
+        use_contrastive=use_contrastive, use_generation=use_generation,
+        use_roi=use_roi, camera_name=camera_name, **kw,
+    )
+
+
+def mla_2b(**kw) -> prismatic.MLAModelConfig:
+    """Reduced-depth variant (8 decoder layers, same widths/front-ends) for
+    single-chip smoke runs and compile checks."""
+    cfg = mla_7b(**kw)
+    return replace(cfg, llama=replace(cfg.llama, num_layers=8))
+
+
+def mla_tiny(**kw) -> prismatic.MLAModelConfig:
+    """CI-size: full architecture at toy dims (see tests/tiny.py analogue)."""
+    D = 64
+    llama_cfg = llama_mod.LlamaConfig(
+        vocab_size=32064, hidden_size=D, intermediate_size=128, num_layers=4,
+        num_heads=4, num_kv_heads=4, max_position_embeddings=256,
+        contrastive_layer=2, compute_dtype=jnp.float32,
+    )
+    use_generation = kw.pop("use_generation", False)
+    use_tactile = kw.pop("use_tactile", False)
+    use_roi = kw.pop("use_roi", False)
+    gen = gen_mod.GenerationConfig(
+        token_size=D, use_image=use_generation, use_pointcloud=use_generation,
+        use_tactile=use_generation and use_tactile,
+        image=gen_mod.ImageGenConfig(
+            token_size=D, num_gen_queries=4, decoder_layers=1, decoder_heads=4,
+            num_patches=16, use_roi=use_roi,
+        ),
+        point=gen_mod.PointGenConfig(token_size=D, trans_dim=32, decoder_layers=1,
+                                     decoder_heads=4, group_size=4, num_groups=8),
+        tactile=gen_mod.TactileGenConfig(token_size=D, decoder_layers=1),
+    )
+    return prismatic.MLAModelConfig(
+        llama=llama_cfg,
+        vision=vt_mod.VisionTokenizerConfig(image_size=168, hidden_dim=32, num_heads=4),
+        point=pt_mod.PointTokenizerConfig(
+            input_points=64, embed_dim=12, k_neighbors=8, lga_blocks=(2, 1),
+            dim_expansion=(2, 2), out_dim=24,
+        ),
+        gen=gen,
+        use_generation=use_generation, use_tactile=use_tactile, use_roi=use_roi,
+        image_hidden_dim=32, point_token_dim=24, **kw,
+    )
+
+
+MODEL_REGISTRY: Dict[str, Callable[..., prismatic.MLAModelConfig]] = {
+    "mla-7b": mla_7b,
+    "prism-dinosiglip-224px+7b": mla_7b,  # the reference's base_vlm id
+    "mla-2b": mla_2b,
+    "mla-tiny": mla_tiny,
+}
+
+
+def get_model_config(model_id: str, **overrides) -> prismatic.MLAModelConfig:
+    if model_id not in MODEL_REGISTRY:
+        raise ValueError(f"Unknown model `{model_id}`. Available: {list(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[model_id](**overrides)

@@ -1,0 +1,58 @@
+"""Device-mesh construction for GSPMD training/serving.
+
+TPU-native analogue of the reference's torchrun+NCCL world
+(SURVEY.md section 2.10): the reference's only strategy is FSDP
+HYBRID_SHARD = shard within a node, replicate across nodes
+(training/strategies/fsdp.py:88-93). Here that maps to a 2-axis mesh:
+
+    ('dp', 'fsdp')  —  params sharded over 'fsdp' (the ICI-local axis),
+                       replicated over 'dp' (the DCN axis); the global
+                       batch splits over BOTH axes.
+
+An optional 'tp' axis enables megatron-style tensor parallelism for
+serving (beyond the reference's capabilities; collectives ride ICI).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    fsdp: Optional[int] = None,
+    dp: int = 1,
+    tp: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ('dp', 'fsdp', 'tp') mesh. With defaults, all devices go to
+    the fsdp axis (single-slice ZeRO-style sharding)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if fsdp is None:
+        assert n % (dp * tp) == 0, f"{n} devices not divisible by dp*tp={dp * tp}"
+        fsdp = n // (dp * tp)
+    assert dp * fsdp * tp == n, f"dp*fsdp*tp={dp * fsdp * tp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, fsdp, tp)
+    return Mesh(arr, ("dp", "fsdp", "tp"))
+
+
+def initialize_distributed() -> None:
+    """Multi-host init (reference boundary: accelerate.PartialState /
+    torchrun rendezvous, util/overwatch/overwatch.py:47-54). On TPU pods the
+    coordinator address comes from the environment; safe no-op single-host."""
+    import jax
+
+    try:
+        if jax.process_count() > 1 or jax.distributed.is_initialized():
+            return
+    except Exception:
+        pass
+    try:
+        jax.distributed.initialize()
+    except Exception:
+        # single-process (CPU tests / single-chip) — nothing to do
+        pass
