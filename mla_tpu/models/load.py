@@ -1,0 +1,149 @@
+"""Model loading: run dirs, reference checkpoints, HF bases.
+
+Parity target: reference models/load.py —
+  * load_vla (:253-369): MLA from a run dir (config.json +
+    dataset_statistics.json + checkpoints/*.pt) -> ready policy
+  * load (:52-140): base VLM from an HF-style directory
+  * the module-keyed permissive loading of model_mla.py:311-492.
+
+This loader reads BOTH our orbax run dirs and the reference's torch run
+dirs (auto-detected), so a user can point it at an existing reference
+checkpoint and get a TPU policy back.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mla_tpu.conf.models import get_model_config
+from mla_tpu.models import convert, prismatic
+from mla_tpu.models.mla import MLAPolicy
+from mla_tpu.utils.overwatch import initialize_overwatch
+
+overwatch = initialize_overwatch(__name__)
+
+_MODEL_FLAG_KEYS = (
+    "use_diff", "use_pointcloud", "use_tactile", "use_contrastive",
+    "use_generation", "use_roi", "camera_name", "action_dim",
+    "future_action_window_size", "class_dropout_prob",
+)
+
+
+def _read_json(path: Path) -> Optional[Dict]:
+    try:
+        return json.loads(Path(path).read_text())
+    except Exception:
+        return None
+
+
+def load_vla(
+    checkpoint_or_run_dir,
+    *,
+    model_id: str = "mla-7b",
+    tokenizer=None,
+    load_for_training: bool = False,
+    **flag_overrides,
+) -> MLAPolicy | Tuple[Dict[str, Any], Dict[str, Any], Any, Dict]:
+    """Build an MLA policy from a run directory or checkpoint path.
+
+    Accepts:
+      * our run dir (config.json with {"train": ..., "model": ...} + orbax
+        checkpoints/),
+      * a reference run dir (config.json + dataset_statistics.json +
+        checkpoints/*.pt),
+      * a bare reference .pt file.
+
+    With load_for_training=True returns (params, state, cfg, norm_stats)
+    instead of a policy."""
+    path = Path(checkpoint_or_run_dir)
+    run_dir = path if path.is_dir() else path.parent.parent
+    norm_stats = _read_json(run_dir / "dataset_statistics.json") or {}
+    run_config = _read_json(run_dir / "config.json") or {}
+
+    flags = {}
+    cfg_src = run_config.get("train", run_config)
+    for k in _MODEL_FLAG_KEYS:
+        if isinstance(cfg_src, dict) and k in cfg_src:
+            flags[k] = cfg_src[k]
+    flags.update(flag_overrides)
+    cfg = get_model_config(model_id, **flags)
+
+    params, state = prismatic.mla_model_init(jax.random.PRNGKey(0), cfg)
+
+    ckpt_path = _resolve_checkpoint(path)
+    if ckpt_path is None:
+        overwatch.warning(f"no checkpoint found under {path}; random init")
+    elif ckpt_path.suffix == ".pt":
+        overwatch.info(f"loading reference-format checkpoint {ckpt_path}")
+        host_params = jax.tree_util.tree_map(np.asarray, params)
+        host_state = jax.tree_util.tree_map(np.asarray, state)
+        params, state = convert.load_reference_checkpoint(
+            ckpt_path, cfg, base_params=host_params, base_state=host_state
+        )
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype=cfg.llama.param_dtype)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else jnp.asarray(x),
+            params,
+        )
+        state = jax.tree_util.tree_map(jnp.asarray, state)
+    else:
+        overwatch.info(f"loading orbax checkpoint {ckpt_path}")
+        from mla_tpu.training import checkpointing as ckpt_mod
+
+        abstract = {"params": params, "model_state": state}
+        try:
+            restored = ckpt_mod.load_checkpoint(ckpt_path, abstract)
+        except Exception:
+            # full train-state checkpoints include optimizer state etc.
+            from mla_tpu.training import optim, strategy
+
+            tx, _, _ = optim.make_optimizer(params, num_training_steps=1)
+            full = strategy.init_train_state(params, tx, state)
+            full_restored = ckpt_mod.load_checkpoint(ckpt_path, full)
+            restored = {
+                "params": full_restored["params"],
+                "model_state": full_restored["model_state"],
+            }
+        params, state = restored["params"], restored["model_state"]
+
+    if load_for_training:
+        return params, state, cfg, norm_stats
+    return MLAPolicy(params, state, cfg, tokenizer=tokenizer, norm_stats=norm_stats)
+
+
+def _resolve_checkpoint(path: Path) -> Optional[Path]:
+    if path.is_file() and path.suffix == ".pt":
+        return path
+    if path.is_dir() and (path / "checkpoints").exists():
+        from mla_tpu.training.checkpointing import latest_checkpoint
+
+        latest = latest_checkpoint(path)
+        if latest is not None and latest.exists():
+            return latest
+        pts = sorted((path / "checkpoints").glob("*.pt"))
+        if pts:
+            return pts[-1]
+    if path.is_dir():
+        # orbax checkpoint dir given directly
+        if any(path.glob("*")):
+            metas = list(path.glob("_CHECKPOINT_METADATA")) + list(path.glob("manifest.ocdbt"))
+            if metas or (path / "d").exists():
+                return path
+    return None
+
+
+def load_base_llm(hf_dir, cfg: prismatic.MLAModelConfig, params: Dict[str, Any]) -> Dict[str, Any]:
+    """Load an HF Llama base (the reference `load()` base-VLM path) into an
+    existing param tree, padding the vocab to cfg.llama.vocab_size."""
+    llm = convert.load_hf_llama(hf_dir, cfg)
+    params = dict(params)
+    params["llm_backbone"] = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, cfg.llama.param_dtype), llm
+    )
+    return params

@@ -1,0 +1,239 @@
+"""Training entry point.
+
+Parity target: reference scripts/train.py train() (:157-429) — run-dir
+setup, model build/load, stage inference from freeze flags, dataset +
+collator wiring, strategy setup, and the training loop; driven by the
+conf/vla.py experiment registry with --key value overrides.
+
+Usage:
+    python scripts/train.py --vla.type prism-dinosiglip-224px+oxe+diffusion \
+        --vla.per_device_batch_size 8 --data_root_dir /data/rlds \
+        [--model mla-7b] [--max_steps 1000] [--dp 1] [--tp 1]
+
+Stage matrix (reference launch scripts scripts/{pretrain,sft_*,post_*}.sh):
+    pretrain      : everything trainable, contrastive on
+    sft/finetune  : --vla.freeze_vision_tower true
+    post-training : --use_generation true --gen_image/--gen_pointcloud/...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="MLA-TPU trainer")
+    p.add_argument("--vla.type", dest="vla_type", default="prism-dinosiglip-224px+oxe+diffusion")
+    p.add_argument("--model", default=None, help="model registry id (default: config.base_vlm)")
+    p.add_argument("--data_root_dir", default=None, help="RLDS/TFDS data root (dummy data if unset)")
+    p.add_argument("--dp", type=int, default=1, help="data-parallel (DCN) mesh axis")
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh axis")
+    p.add_argument("--hf_llama_dir", default=None, help="HF Llama base weights to initialize from")
+    args, unknown = p.parse_known_args(argv)
+
+    # --vla.foo bar / --foo bar overrides onto VLATrainConfig
+    overrides = {}
+    i = 0
+    while i < len(unknown):
+        key = unknown[i]
+        if not key.startswith("--"):
+            raise ValueError(f"unexpected arg {key}")
+        key = key[2:]
+        if key.startswith("vla."):
+            key = key[4:]
+        if i + 1 < len(unknown) and not unknown[i + 1].startswith("--"):
+            val = unknown[i + 1]
+            i += 2
+        else:
+            val = "true"
+            i += 1
+        overrides[key] = val
+    return args, overrides
+
+
+def _coerce(cfg_cls, overrides):
+    import typing
+
+    fields = {f.name: f for f in dataclasses.fields(cfg_cls)}
+    out = {}
+    for k, v in overrides.items():
+        if k not in fields:
+            raise ValueError(f"unknown override --{k} (valid: {sorted(fields)})")
+        t = fields[k].type
+        if isinstance(v, str):
+            tl = str(t)
+            if "bool" in tl:
+                v = v.lower() in ("1", "true", "yes")
+            elif "int" in tl:
+                v = int(v) if v.lower() != "none" else None
+            elif "float" in tl:
+                v = float(v)
+        out[k] = v
+    return out
+
+
+def main(argv=None):
+    args, overrides = parse_args(argv)
+
+    import jax
+
+    from mla_tpu.conf.models import get_model_config
+    from mla_tpu.conf.vla import get_vla_config
+    from mla_tpu.diffusion import gaussian as gd
+    from mla_tpu.models import load as load_mod
+    from mla_tpu.models import prismatic
+    from mla_tpu.parallel import make_mesh, shard_batch
+    from mla_tpu.parallel.mesh import initialize_distributed
+    from mla_tpu.training import checkpointing as ckpt_mod
+    from mla_tpu.training import optim, strategy
+    from mla_tpu.training.metrics import VLAMetrics
+    from mla_tpu.utils import initialize_overwatch, set_global_seed
+    from mla_tpu.vla.materialize import get_vla_dataset_and_collator
+
+    overwatch = initialize_overwatch("train")
+    initialize_distributed()
+
+    tc = get_vla_config(args.vla_type, **_coerce(type(get_vla_config(args.vla_type)), overrides))
+    model_id = args.model or ("mla-tiny" if tc.base_vlm == "mla-tiny" else tc.base_vlm)
+    stage = tc.stage
+    overwatch.info(f"MLA-TPU :: vla={tc.vla_id} model={model_id} stage={stage}")
+
+    # --- run dir -----------------------------------------------------------
+    run_id = tc.run_id or f"{tc.vla_id}+n{jax.process_count()}+b{tc.per_device_batch_size}+x{tc.seed}"
+    run_dir = Path(tc.run_root_dir) / run_id
+    rng = set_global_seed(tc.seed)
+
+    # --- model -------------------------------------------------------------
+    cfg = get_model_config(
+        model_id,
+        use_diff=tc.use_diff,
+        use_pointcloud=tc.use_pointcloud,
+        use_tactile=tc.use_tactile,
+        use_contrastive=tc.use_contrastive,
+        use_generation=tc.use_generation,
+        use_roi=tc.use_roi,
+        camera_name=tc.camera_name,
+        action_dim=tc.action_dim,
+        future_action_window_size=tc.future_action_window_size,
+        class_dropout_prob=tc.class_dropout_prob,
+    )
+    if tc.use_generation:
+        # stage flags gen_image/gen_pointcloud/gen_tactile map onto gen cfg
+        gen = dataclasses.replace(
+            cfg.gen, use_image=tc.gen_image, use_pointcloud=tc.gen_pointcloud,
+            use_tactile=tc.gen_tactile,
+        )
+        cfg = dataclasses.replace(cfg, gen=gen)
+
+    if tc.pretrained_checkpoint:
+        params, mstate, cfg, _stats = load_mod.load_vla(
+            tc.pretrained_checkpoint, model_id=model_id, load_for_training=True
+        )
+    else:
+        init_key, rng = jax.random.split(rng)
+        params, mstate = prismatic.mla_model_init(init_key, cfg)
+        if args.hf_llama_dir:
+            params = load_mod.load_base_llm(args.hf_llama_dir, cfg, params)
+
+    # --- strategy sizing ----------------------------------------------------
+    n_devices = len(jax.devices())
+    mesh = make_mesh(dp=args.dp, tp=args.tp, fsdp=n_devices // (args.dp * args.tp))
+    global_bsz_per_step = tc.per_device_batch_size * n_devices
+    grad_accum = max(tc.global_batch_size // global_bsz_per_step, 1)
+    num_steps = tc.max_steps or (tc.epochs * max(tc.shuffle_buffer_size // tc.global_batch_size, 1))
+    per_host_batch = tc.per_device_batch_size * jax.local_device_count() * grad_accum
+
+    # --- data --------------------------------------------------------------
+    dataset, collator, dataset_statistics = get_vla_dataset_and_collator(
+        data_root_dir=args.data_root_dir,
+        data_mix=tc.data_mix,
+        model_cfg=cfg,
+        per_host_batch_size=per_host_batch,
+        shuffle_buffer_size=tc.shuffle_buffer_size,
+        use_diff=tc.use_diff,
+        seed=tc.seed,
+    )
+    ckpt_mod.write_run_metadata(run_dir, tc, cfg, dataset_statistics)
+
+    train_cfg = strategy.TrainConfig(
+        learning_rate=tc.learning_rate,
+        weight_decay=tc.weight_decay,
+        max_grad_norm=tc.max_grad_norm,
+        lr_scheduler_type=tc.lr_scheduler_type,
+        warmup_ratio=tc.warmup_ratio,
+        num_training_steps=num_steps,
+        grad_accumulation_steps=grad_accum,
+        repeated_diffusion_steps=tc.repeated_diffusion_steps,
+        stage=stage,
+        use_ema=tc.use_ema,
+        enable_gradient_checkpointing=tc.enable_gradient_checkpointing,
+    )
+    extra_frozen = ("llm_backbone",) if tc.freeze_llm_backbone else ()
+    tx, schedule, _ = optim.make_optimizer(
+        params,
+        learning_rate=tc.learning_rate,
+        weight_decay=tc.weight_decay,
+        max_grad_norm=tc.max_grad_norm,
+        lr_scheduler_type=tc.lr_scheduler_type,
+        warmup_ratio=tc.warmup_ratio,
+        num_training_steps=num_steps,
+        stage=stage,
+        extra_frozen=extra_frozen,
+    )
+    sched = gd.create_schedule("", diffusion_steps=100)
+    state = strategy.init_train_state(params, tx, mstate, use_ema=tc.use_ema)
+    state = strategy.shard_train_state(state, mesh, use_tp=args.tp > 1)
+    del params, mstate
+    step_fn = strategy.make_train_step(cfg, train_cfg, tx, sched, mesh)
+
+    start_step = 0
+    if tc.is_resume and (latest := ckpt_mod.latest_checkpoint(run_dir)) is not None:
+        overwatch.info(f"resuming from {latest}")
+        state = ckpt_mod.load_checkpoint(latest, state)
+        start_step = int(state["step"])
+
+    overwatch.info(
+        f"GSPMD strategy :: mesh={dict(mesh.shape)} global_bsz={tc.global_batch_size} "
+        f"per-device={tc.per_device_batch_size} grad_accum={grad_accum} steps={num_steps}"
+    )
+
+    metrics = VLAMetrics(
+        tc.trackers.split(","), run_id, run_dir,
+        hparams=dataclasses.asdict(tc), resume_step=start_step or None,
+    )
+
+    # --- loop (reference run_vla_training, base_strategy_mla.py:251-404) ---
+    data_iter = iter(dataset)
+    for step in range(start_step, num_steps):
+        if collator is not None:
+            host_batch = collator([next(data_iter) for _ in range(per_host_batch)])
+        else:
+            host_batch = next(data_iter)
+        batch = shard_batch(host_batch, mesh)
+        step_key = jax.random.fold_in(rng, step)
+        state, step_metrics = step_fn(state, batch, step_key)
+        metrics.commit(
+            global_step=step, lr=float(schedule(step)), update_step_time=True,
+            **{k: v for k, v in step_metrics.items()},
+        )
+        if step % 10 == 0 or step == num_steps - 1:
+            overwatch.info(metrics.push())
+        if (step + 1) % tc.save_interval == 0 or step == num_steps - 1:
+            loss = float(step_metrics["total_loss"])
+            ckpt_mod.save_checkpoint(
+                run_dir, state, step=step + 1, epoch=0, loss=loss, model_cfg=cfg
+            )
+    metrics.finalize()
+    overwatch.info("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Checkpoint tests: orbax save/restore roundtrip, reference-format export
+-> reload roundtrip, metadata files."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mla_tpu.diffusion import gaussian as gd
+from mla_tpu.models import convert, mla as mla_mod, prismatic
+from mla_tpu.training import checkpointing as ckpt
+from mla_tpu.training import optim, strategy
+
+from tiny import tiny_batch, tiny_config, tiny_model
+
+
+def test_orbax_roundtrip(tmp_path):
+    cfg = tiny_config()
+    params, mstate = tiny_model(cfg)
+    tx, _, _ = optim.make_optimizer(params, num_training_steps=10)
+    state = strategy.init_train_state(params, tx, mstate)
+
+    path = ckpt.save_checkpoint(tmp_path, state, step=7, epoch=1, loss=0.1234)
+    assert path.exists()
+    assert ckpt.latest_checkpoint(tmp_path) == path
+    assert ckpt.parse_step_epoch(path) == (7, 1)
+
+    restored = ckpt.load_checkpoint(path, state)
+    leaves_a = jax.tree_util.tree_leaves(state["params"])
+    leaves_b = jax.tree_util.tree_leaves(restored["params"])
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored["step"]) == 0
+
+
+def test_checkpoint_gc(tmp_path):
+    cfg = tiny_config()
+    params, mstate = tiny_model(cfg)
+    tx, _, _ = optim.make_optimizer(params, num_training_steps=10)
+    state = strategy.init_train_state(params, tx, mstate)
+    for s in range(5):
+        ckpt.save_checkpoint(tmp_path, state, step=s, epoch=0, loss=1.0, keep=2)
+    dirs = sorted((tmp_path / "checkpoints").glob("step-*"))
+    dirs = [d for d in dirs if d.is_dir()]
+    assert len(dirs) == 2
+    assert dirs[-1].name.startswith("step-000004")
+
+
+def test_reference_format_roundtrip(tmp_path):
+    """params -> reference .pt -> load_reference_checkpoint == identity."""
+    torch = pytest.importorskip("torch")
+    cfg = tiny_config(use_tactile=True)
+    params, mstate = tiny_model(cfg)
+    state = {"params": params, "model_state": mstate}
+    pt_path = tmp_path / "ref.pt"
+    ckpt.export_reference_pt(pt_path, state, cfg)
+
+    base_params = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+    p2, s2 = convert.load_reference_checkpoint(pt_path, cfg, base_params=base_params, base_state=mstate)
+
+    for key in ["llm_backbone", "vision_tower_2d", "projector_2d", "vision_tower_3d",
+                "projector_3d", "proprio_embedder", "x_embedder", "t_embedder",
+                "final_layer", "tactile_embedder", "contrastive"]:
+        a_leaves = jax.tree_util.tree_leaves(params[key])
+        b_leaves = jax.tree_util.tree_leaves(p2[key])
+        assert len(a_leaves) == len(b_leaves), key
+        for a, b in zip(a_leaves, b_leaves):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, err_msg=key)
+    # batchnorm running stats survive through model state
+    a = np.asarray(jax.tree_util.tree_leaves(mstate["vision_tower_3d"])[0])
+    b = np.asarray(jax.tree_util.tree_leaves(s2["vision_tower_3d"])[0])
+    np.testing.assert_allclose(a, b)
+
+
+def test_run_metadata(tmp_path):
+    from mla_tpu.conf.vla import get_vla_config
+
+    cfg = tiny_config()
+    tc = get_vla_config("mla-tiny-debug")
+    stats = {"rlbench": {"action": {"q01": [-1] * 7, "q99": [1] * 7}}}
+    ckpt.write_run_metadata(tmp_path, tc, cfg, stats)
+    blob = json.loads((tmp_path / "config.json").read_text())
+    assert blob["train"]["vla_id"] == "mla-tiny-debug"
+    assert json.loads((tmp_path / "dataset_statistics.json").read_text())["rlbench"]
