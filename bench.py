@@ -20,10 +20,16 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# persistent XLA compile cache: repeat bench runs skip the (slow, tunneled)
+# TPU compilation entirely
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mla_tpu_jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_A100_CHUNKS_PER_SEC = 2.3  # analytic estimate, see module docstring
 
@@ -90,30 +96,7 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
     }
 
 
-def main():
-    import jax
-
-    backend = jax.default_backend()
-    on_tpu = backend == "tpu"
-    candidates = ["mla-7b", "mla-2b"] if on_tpu else ["mla-tiny"]
-    iters = 20 if on_tpu else 3
-
-    result = None
-    model_used = None
-    err = None
-    for model_id in candidates:
-        try:
-            result = run_bench(model_id, iters=iters)
-            model_used = model_id
-            break
-        except Exception as e:  # OOM fallback to the shallower preset
-            err = f"{type(e).__name__}: {e}"
-            continue
-    if result is None:
-        print(json.dumps({"metric": "action_chunks_per_sec_chip", "value": 0.0,
-                          "unit": "chunks/s", "vs_baseline": 0.0, "error": err[:400]}))
-        return
-
+def _emit(result, model_used, backend, extra=None):
     chunks_per_sec = 1.0 / result["p50_s"]
     out = {
         "metric": "action_chunks_per_sec_chip",
@@ -127,7 +110,51 @@ def main():
         "ddim_steps": 8,
         "baseline_note": "vs analytic A100 estimate of reference predict_action_diff (~2.3 chunks/s); repo publishes no numbers",
     }
+    if extra:
+        out.update(extra)
     print(json.dumps(out))
+
+
+def _run_single(model_id: str):
+    """Child-process mode: bench one model, print its JSON, exit 0/1."""
+    import jax
+
+    backend = jax.default_backend()
+    iters = 20 if backend == "tpu" else 3
+    try:
+        result = run_bench(model_id, iters=iters)
+    except Exception as e:
+        print(json.dumps({"error": f"{type(e).__name__}: {e}"[:400]}), file=sys.stderr)
+        sys.exit(1)
+    _emit(result, model_id, backend)
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--model":
+        _run_single(sys.argv[2])
+        return
+
+    import jax
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    candidates = ["mla-7b", "mla-2b"] if on_tpu else ["mla-tiny"]
+
+    # each candidate runs in its own process so a failed (e.g. OOM) attempt's
+    # device allocations are fully released before the fallback runs
+    last_err = None
+    for model_id in candidates:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--model", model_id],
+            capture_output=True, text=True, timeout=7200,
+        )
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if proc.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        last_err = (proc.stderr.strip().splitlines() or ["unknown"])[-1]
+    print(json.dumps({"metric": "action_chunks_per_sec_chip", "value": 0.0,
+                      "unit": "chunks/s", "vs_baseline": 0.0, "error": str(last_err)[:400]}))
 
 
 if __name__ == "__main__":

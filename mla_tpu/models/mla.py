@@ -163,15 +163,27 @@ def build_prefix_embeds(
     point_cloud: Optional[jnp.ndarray],
     tactile: Optional[jnp.ndarray] = None,
     gripper_xyz: Optional[jnp.ndarray] = None,
+    *,
+    with_uncond: bool = False,
 ) -> jnp.ndarray:
-    """[BOS | fused | text[1:]] embeddings — shared by both inference paths."""
+    """[BOS | fused | text[1:]] embeddings — shared by both inference paths.
+
+    with_uncond=True appends the classifier-free-guidance unconditional
+    prefix (every conditioning embedding replaced by the z_embedder
+    `uncondition` vector, reference LabelEmbedder semantics,
+    models/diffusion/models.py:79-97) as a second batch row."""
     fused_out = prismatic.get_fused_tokens(
         params, state, cfg, images, point_cloud, tactile, gripper_xyz, training=False
     )
     text_emb = llama_mod.embed_tokens(params["llm_backbone"], input_ids_prefix)
-    return jnp.concatenate(
+    prefix = jnp.concatenate(
         [text_emb[:, :1], fused_out["fused"].astype(text_emb.dtype), text_emb[:, 1:]], axis=1
     )
+    if with_uncond:
+        uncond = params["z_embedder"]["uncondition"].astype(prefix.dtype)  # [1, D]
+        uncond_prefix = jnp.broadcast_to(uncond[None], prefix.shape)
+        prefix = jnp.concatenate([prefix, uncond_prefix], axis=0)
+    return prefix
 
 
 def prefill(
@@ -246,10 +258,24 @@ def ddim_denoise_actions(
     *,
     use_ddpm: bool = False,
     key: Optional[jax.Array] = None,
+    cfg_scale: float = 0.0,
 ) -> jnp.ndarray:
     """DDIM/DDPM loop where each step is a short suffix forward against the
-    cached prefix. Exact w.r.t. the reference's full recompute."""
-    denoise_fn = make_suffix_denoise_fn(params, cfg, kv_cache, prefix_len, proprio, tail_ids)
+    cached prefix. Exact w.r.t. the reference's full recompute.
+
+    With cfg_scale > 1, the cache is expected to hold [cond; uncond] prefix
+    rows and `noise`/`proprio`/`tail_ids` the doubled batch; guided eps is
+    uncond + scale * (cond - uncond) (reference forward_with_cfg)."""
+    base_fn = make_suffix_denoise_fn(params, cfg, kv_cache, prefix_len, proprio, tail_ids)
+    if cfg_scale > 1.0:
+        def denoise_fn(x, t_model):
+            half = x[: x.shape[0] // 2]
+            eps = base_fn(jnp.concatenate([half, half], axis=0), t_model)
+            cond, uncond = jnp.split(eps, 2, axis=0)
+            guided = uncond + cfg_scale * (cond - uncond)
+            return jnp.concatenate([guided, guided], axis=0)
+    else:
+        denoise_fn = base_fn
     if use_ddpm:
         return gd.ddpm_sample_loop(sched, denoise_fn, noise, key=key)
     return gd.ddim_sample_loop(sched, denoise_fn, noise, eta=0.0)
@@ -377,22 +403,32 @@ class MLAPolicy:
         return self._stats(unnorm_key, "proprio")
 
     # --- jitted graph builders (cached by shape signature) ----------------
-    def _diff_fn(self, prefix_len: int, tail_len: int, use_ddpm: bool):
-        sig = ("diff", prefix_len, tail_len, use_ddpm)
+    def _diff_fn(self, prefix_len: int, tail_len: int, use_ddpm: bool, cfg_scale: float = 0.0):
+        sig = ("diff", prefix_len, tail_len, use_ddpm, cfg_scale)
         if sig not in self._jit_cache:
             # prefix embeds = text(prefix_len) + fused block
             embed_len = prefix_len + self.cfg.fused_len
             cache_max = embed_len + 2 + self.cfg.action_horizon + tail_len + self.cache_margin
             sched = self.sched_full if use_ddpm else self.sched_ddim
+            use_cfg = cfg_scale > 1.0
 
             @jax.jit
             def run(params, state, ids_prefix, tail_ids, images, pc, proprio, noise, key):
-                prefix = build_prefix_embeds(params, state, self.cfg, ids_prefix, images, pc)
-                kv, _ = prefill(params, self.cfg, prefix, cache_max, compute_logits=False)
-                return ddim_denoise_actions(
-                    params, self.cfg, sched, kv, prefix.shape[1], proprio, tail_ids,
-                    noise, use_ddpm=use_ddpm, key=key,
+                prefix = build_prefix_embeds(
+                    params, state, self.cfg, ids_prefix, images, pc, with_uncond=use_cfg
                 )
+                kv, _ = prefill(params, self.cfg, prefix, cache_max, compute_logits=False)
+                if use_cfg:
+                    proprio_x = jnp.concatenate([proprio, proprio], axis=0)
+                    tail_x = jnp.concatenate([tail_ids, tail_ids], axis=0)
+                    noise_x = jnp.concatenate([noise, noise], axis=0)
+                else:
+                    proprio_x, tail_x, noise_x = proprio, tail_ids, noise
+                samples = ddim_denoise_actions(
+                    params, self.cfg, sched, kv, prefix.shape[1], proprio_x, tail_x,
+                    noise_x, use_ddpm=use_ddpm, key=key, cfg_scale=cfg_scale,
+                )
+                return samples[: noise.shape[0]]
 
             self._jit_cache[sig] = run
         return self._jit_cache[sig]
@@ -423,6 +459,7 @@ class MLAPolicy:
         unnorm_key: Optional[str] = None,
         num_ddim_steps: int = 8,
         use_ddim: bool = True,
+        cfg_scale: float = 0.0,
         seed: int = 0,
         input_ids: Optional[np.ndarray] = None,
     ) -> np.ndarray:
@@ -452,7 +489,9 @@ class MLAPolicy:
         noise = jax.random.normal(
             noise_key, (1, cfg.action_horizon, cfg.action_dim), jnp.float32
         )
-        fn = self._diff_fn(int(prefix_ids.shape[1]), 1, use_ddpm=not use_ddim)
+        fn = self._diff_fn(
+            int(prefix_ids.shape[1]), 1, use_ddpm=not use_ddim, cfg_scale=cfg_scale
+        )
         samples = fn(
             self.params, self.state, prefix_ids, tail_ids, images, pc,
             jnp.asarray(proprio), noise, sample_key,
@@ -483,6 +522,98 @@ class MLAPolicy:
         token_ids = np.asarray(toks[0])
         normalized = self.action_tokenizer.decode_token_ids_to_actions(token_ids)
         return unnormalize_actions(normalized, self.get_action_stats(unnorm_key))
+
+    def predict_action_diff_ar(
+        self,
+        front_image,
+        pointcloud,
+        instruction: str,
+        cur_robot_state=None,
+        unnorm_key: Optional[str] = None,
+        num_ddim_steps: int = 8,
+        seed: int = 0,
+    ) -> Dict[str, Any]:
+        """Run BOTH heads (reference predict_action_diff_ar,
+        model_mla.py:778-991): autoregressive token decode for a fast/
+        confident single action + diffusion denoise for the smooth chunk,
+        returning per-phase wall-clock timings like the reference."""
+        import time as _time
+
+        ar_ids = build_prompt_ids(self.tokenizer, instruction, mode="ar")
+        t0 = _time.perf_counter()
+        ar_actions = self.predict_action_ar(
+            front_image, pointcloud, instruction, unnorm_key=unnorm_key, input_ids=ar_ids
+        )
+        t_ar = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        diff_actions = self.predict_action_diff(
+            front_image, pointcloud, instruction, cur_robot_state=cur_robot_state,
+            unnorm_key=unnorm_key, num_ddim_steps=num_ddim_steps, seed=seed,
+        )
+        t_diff = _time.perf_counter() - t0
+        return {
+            "actions": diff_actions,
+            "ar_actions": ar_actions,
+            "timings": [t_ar, t_diff],
+        }
+
+    def predict_action_batch(
+        self,
+        images,
+        pointclouds,
+        instructions,
+        action_model_params=None,
+        action_model_cfg=None,
+        unnorm_key: Optional[str] = None,
+        cfg_scale: float = 1.5,
+        num_ddim_steps: int = 10,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Legacy CogACT path (reference model_mla.py:993-1164): condition a
+        STANDALONE DiT action head on the LLM's last cognition feature and
+        denoise a batch of action chunks. Requires an `action_model`
+        (models/action_model.py) params+config pair."""
+        from mla_tpu.models import action_model as am
+
+        if action_model_params is None:
+            raise ValueError("predict_action_batch requires action_model params")
+        B = len(instructions)
+        ids_list = [build_prompt_ids(self.tokenizer, ins, mode="ar") for ins in instructions]
+        L = max(x.shape[1] for x in ids_list)
+        ids = np.full((B, L), 32000, np.int32)
+        for i, x in enumerate(ids_list):
+            ids[i, : x.shape[1]] = x[0]
+        images_b = {"front_image": jnp.asarray(np.stack([np.asarray(im) for im in images]))}
+        pc_b = jnp.asarray(np.stack([np.asarray(p) for p in pointclouds]))
+
+        prefix = build_prefix_embeds(
+            self.params, self.state, self.cfg, jnp.asarray(ids), images_b, pc_b
+        )
+        cache_max = prefix.shape[1] + self.cache_margin
+        kv, _ = prefill(self.params, self.cfg, prefix, cache_max, compute_logits=False)
+        # cognition feature: last hidden at the final position
+        out = llama_mod.llama_forward(
+            self.params["llm_backbone"], self.cfg.llama, prefix, compute_logits=False
+        )
+        z = out["last_hidden"][:, -1:, :].astype(jnp.float32)  # [B,1,token]
+
+        sched = gd.create_schedule(f"ddim{num_ddim_steps}", diffusion_steps=100)
+        key = jax.random.PRNGKey(seed)
+        noise = jax.random.normal(key, (B, self.cfg.action_horizon, self.cfg.action_dim))
+        if cfg_scale > 1.0:
+            z_all = jnp.concatenate(
+                [z, jnp.broadcast_to(action_model_params["uncondition"][None], z.shape)], axis=0
+            )
+            noise2 = jnp.concatenate([noise, noise], axis=0)
+            denoise = lambda x, t: am.dit_forward_with_cfg(
+                action_model_params, action_model_cfg, x, t, z_all, cfg_scale
+            )
+            samples = gd.ddim_sample_loop(sched, denoise, noise2, eta=0.0)[:B]
+        else:
+            denoise = lambda x, t: am.dit_forward(action_model_params, action_model_cfg, x, t, z)
+            samples = gd.ddim_sample_loop(sched, denoise, noise, eta=0.0)
+        return unnormalize_actions(np.asarray(samples), self.get_action_stats(unnorm_key))
 
 
 def _ensure_image_batch(image) -> jnp.ndarray:

@@ -1,0 +1,13 @@
+#!/usr/bin/env bash
+# Franka real-robot SFT (reference scripts/sft_franka.sh): franka mixture,
+# wrist cameras + tactile on.
+set -euo pipefail
+DATA_ROOT=${DATA_ROOT:-/data/rlds}
+python scripts/train.py \
+  --vla.type prism-dinosiglip-224px+oxe+diffusion \
+  --data_root_dir "$DATA_ROOT" \
+  --data_mix franka --camera_name franka_front \
+  --freeze_vision_tower true \
+  --use_diff true --use_pointcloud true --use_contrastive true --use_tactile true \
+  --learning_rate 2e-5 --global_batch_size 64 --per_device_batch_size 8 \
+  "$@"

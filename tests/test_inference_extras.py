@@ -1,0 +1,143 @@
+"""Prompt builders, DiT action model, CFG, and the dual-head policy path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mla_tpu.diffusion import gaussian as gd
+from mla_tpu.models import action_model as am
+from mla_tpu.models import mla as mla_mod
+from mla_tpu.models import prompting
+
+from tiny import tiny_batch, tiny_config, tiny_model
+
+
+def test_pure_prompt_builder_format():
+    pb = prompting.get_prompt_builder("openvla")
+    pb.add_turn("human", "What action should the robot take to close the box?")
+    prompt = pb.get_prompt()
+    assert prompt == "In: What action should the robot take to close the box?\nOut:"
+    pb.add_turn("gpt", "<BOD><EOD>abc")
+    assert pb.get_prompt().endswith("<BOD><EOD>abc</s>")
+
+
+def test_chat_and_vicuna_builders():
+    pb = prompting.get_prompt_builder("llama2-chat", system_prompt="sys")
+    pb.add_turn("human", "hello")
+    assert "[INST]" in pb.get_prompt() and "<<SYS>>" in pb.get_prompt()
+    pb2 = prompting.get_prompt_builder("vicuna-v15")
+    pb2.add_turn("human", "hello")
+    assert "USER: hello ASSISTANT:" in pb2.get_prompt()
+    pb3 = prompting.get_prompt_builder("mistral-instruct")
+    pb3.add_turn("human", "hi")
+    assert pb3.get_prompt().startswith("[INST] hi [/INST]")
+    pb4 = prompting.get_prompt_builder("phi-2")
+    pb4.add_turn("human", "hi")
+    assert pb4.get_prompt() == "Input: hi\nOutput:"
+
+
+def test_dit_action_model_shapes_and_loss():
+    cfg = am.dit_config("DiT-S", token_size=64, in_channels=7, future_action_window_size=15)
+    params = am.dit_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 7))
+    t = jnp.array([3, 50])
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 64))
+    eps = am.dit_forward(params, cfg, x, t, z)
+    assert eps.shape == (2, 16, 7)
+
+    sched = gd.create_schedule("", diffusion_steps=100)
+    loss = am.dit_loss(params, cfg, sched, x, z, jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+    # CFG: doubled batch returns identical guided halves
+    x2 = jnp.concatenate([x, x], 0)
+    t2 = jnp.concatenate([t, t], 0)
+    z2 = jnp.concatenate([z, jnp.zeros_like(z)], 0)
+    out = am.dit_forward_with_cfg(params, cfg, x2, t2, z2, cfg_scale=2.0)
+    np.testing.assert_allclose(np.asarray(out[:2]), np.asarray(out[2:]), atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def policy():
+    cfg = tiny_config()
+    params, state = tiny_model(cfg)
+    stats = {
+        "rlbench": {
+            "action": {"q01": [-1.0] * 7, "q99": [1.0] * 7},
+            "proprio": {"q01": [-1.0] * 7, "q99": [1.0] * 7},
+        }
+    }
+    return mla_mod.MLAPolicy(params, state, cfg, tokenizer=None, norm_stats=stats, num_ddim_steps=2)
+
+
+def _obs(cfg):
+    rng = np.random.default_rng(0)
+    img = np.concatenate(
+        [rng.normal(size=(3, cfg.vision.image_size, cfg.vision.image_size)).astype(np.float32),
+         np.ones((1, cfg.vision.image_size, cfg.vision.image_size), np.float32)]
+    )
+    pc = rng.uniform(-0.3, 0.7, size=(cfg.point.input_points, 3)).astype(np.float32)
+    return img, pc
+
+
+def test_cfg_guided_diffusion_runs():
+    cfg = tiny_config()
+    params, state = tiny_model(cfg)
+    # final_layer.fc2 is zero-init (so eps would be conditioning-independent);
+    # randomize it so CFG guidance has an observable effect
+    params["final_layer"]["mlp"]["fc2"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(42), params["final_layer"]["mlp"]["fc2"]["w"].shape) * 0.02
+    )
+    stats = {"rlbench": {"action": {"q01": [-1.0] * 7, "q99": [1.0] * 7},
+                         "proprio": {"q01": [-1.0] * 7, "q99": [1.0] * 7}}}
+    pol = mla_mod.MLAPolicy(params, state, cfg, norm_stats=stats, num_ddim_steps=2)
+    img, pc = _obs(cfg)
+    ids = np.array([[1, 500, 600, 700, 29871]], dtype=np.int32)
+    act = pol.predict_action_diff(img, pc, "x", input_ids=ids, cfg_scale=1.5)
+    assert act.shape == (cfg.action_horizon, cfg.action_dim)
+    assert np.isfinite(act).all()
+    # cfg path must differ from unguided (uncondition row changes the eps)
+    act0 = pol.predict_action_diff(img, pc, "x", input_ids=ids, cfg_scale=0.0)
+    assert np.abs(act - act0).max() > 1e-6
+
+
+def test_predict_action_diff_ar(policy):
+    from mla_tpu.vla.tokenizer import SimpleTokenizer
+
+    policy.tokenizer = SimpleTokenizer()
+    img, pc = _obs(policy.cfg)
+    out = policy.predict_action_diff_ar(img, pc, "close the box", num_ddim_steps=2)
+    assert out["actions"].shape == (policy.cfg.action_horizon, policy.cfg.action_dim)
+    assert out["ar_actions"].shape == (policy.cfg.action_dim,)
+    assert len(out["timings"]) == 2 and all(t > 0 for t in out["timings"])
+
+
+def test_predict_action_batch_with_dit(policy):
+    cfg = policy.cfg
+    dit_cfg = am.dit_config("DiT-S", token_size=cfg.token_size, in_channels=cfg.action_dim,
+                            future_action_window_size=cfg.future_action_window_size)
+    dit_params = am.dit_init(jax.random.PRNGKey(9), dit_cfg)
+    img, pc = _obs(cfg)
+    from mla_tpu.vla.tokenizer import SimpleTokenizer
+
+    policy.tokenizer = SimpleTokenizer()
+    acts = policy.predict_action_batch(
+        [img, img], [pc, pc], ["close the box", "open the drawer"],
+        action_model_params=dit_params, action_model_cfg=dit_cfg, cfg_scale=1.5,
+        num_ddim_steps=2,
+    )
+    assert acts.shape == (2, cfg.action_horizon, cfg.action_dim)
+    assert np.isfinite(acts).all()
+
+
+def test_build_prompt_ids_surgery():
+    from mla_tpu.vla.tokenizer import SimpleTokenizer
+
+    tok = SimpleTokenizer()
+    ids_ar = mla_mod.build_prompt_ids(tok, "Close the Box", mode="ar")[0]
+    assert ids_ar[0] == 1 and ids_ar[-1] == 29871
+    ids_diff = mla_mod.build_prompt_ids(tok, "Close the Box", mode="diff")[0]
+    # append [29871, 32001, 32002, 29871] then strip 3 -> ends with one 29871
+    assert ids_diff[-1] == 29871 and 32001 not in ids_diff.tolist()
+    assert len(ids_diff) == len(ids_ar)
