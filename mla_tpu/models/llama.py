@@ -134,11 +134,18 @@ def _layer_fn(
     v = nn.linear(lp["attn"]["v"], x).reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
     q, k = rope_ops.apply_rope(q, k, cos_table, sin_table, positions)
 
+    is_static_prefill = cache_kv is not None and isinstance(cache_len, int) and cache_len == 0
     if cache_kv is not None:
         k_cache, v_cache = cache_kv
         k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, cache_len, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, cache_len, 0))
-        k_all, v_all = k_cache, v_cache
+        if is_static_prefill:
+            # prefill: only the S in-flight keys can be attended (the rest of
+            # the cache is empty) — attend over k/v directly so the flash
+            # kernel applies and no masked-out cache tail is computed
+            k_all, v_all = k, v
+        else:
+            k_all, v_all = k_cache, v_cache
         new_cache = (k_cache, v_cache)
     else:
         k_all, v_all = k, v
@@ -149,9 +156,11 @@ def _layer_fn(
         k_all = jnp.repeat(k_all, rep, axis=1)
         v_all = jnp.repeat(v_all, rep, axis=1)
 
-    causal_offset = cache_len if cache_kv is not None else 0
+    causal_offset = 0 if (cache_kv is None or is_static_prefill) else cache_len
     mask = None
     if key_mask is not None:
+        if is_static_prefill and key_mask.shape[-1] != k_all.shape[2]:
+            key_mask = key_mask[:, : k_all.shape[2]]
         mask = key_mask[:, None, None, :]  # [B,1,1,Sk]
     out = attn_ops.sdpa(
         q, k_all, v_all, mask=mask, causal=True, causal_offset=causal_offset,

@@ -138,6 +138,82 @@ def _resolve_checkpoint(path: Path) -> Optional[Path]:
     return None
 
 
+def load_openvla(
+    model_dir,
+    cfg: prismatic.MLAModelConfig,
+    params: Dict[str, Any],
+    *,
+    vision_backbone_id: str = "dinosiglip-vit-so-224px",
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Import an OpenVLA-style safetensors checkpoint (reference
+    load_openvla, models/load.py:143-250): merge the shards, split by module
+    prefix ('language_model' -> llm, 'vision_backbone.featurizer' /
+    '.fused_featurizer' -> dino/siglip ViTs, 'projector.fcN').
+
+    Returns (params, legacy) where `params` has llm_backbone + projector
+    loaded, and `legacy` carries the converted ViT backbones + fused
+    projector for the legacy prediction paths (these towers are NOT in the
+    encoder-free forward)."""
+    from pathlib import Path
+
+    from mla_tpu.models import vision_backbones as vb
+    from mla_tpu.models.convert import _lin
+
+    model_dir = Path(model_dir)
+    merged: Dict[str, Any] = {}
+    st_files = sorted(model_dir.glob("*.safetensors"))
+    if st_files:
+        from safetensors import safe_open
+
+        for f in st_files:
+            with safe_open(str(f), framework="np") as sf:
+                for k in sf.keys():
+                    merged[k] = sf.get_tensor(k)
+    else:
+        import torch
+
+        for f in sorted(model_dir.glob("*.bin")) + sorted(model_dir.glob("*.pt")):
+            merged.update(torch.load(str(f), map_location="cpu", weights_only=False))
+
+    llm_sd = {k.replace("language_model.", ""): v for k, v in merged.items() if "language_model" in k}
+    dino_sd = {
+        k.replace("vision_backbone.featurizer.", ""): v
+        for k, v in merged.items()
+        if "vision_backbone.featurizer" in k
+    }
+    siglip_sd = {
+        k.replace("vision_backbone.fused_featurizer.", ""): v
+        for k, v in merged.items()
+        if "vision_backbone.fused_featurizer" in k
+    }
+    proj_sd = {k.replace("projector.", ""): v for k, v in merged.items() if k.startswith("projector.")}
+
+    params = dict(params)
+    if llm_sd:
+        params["llm_backbone"] = convert.convert_llama(
+            llm_sd, cfg.llama.num_layers, prefix="", target_vocab=cfg.llama.vocab_size
+        )
+
+    legacy: Dict[str, Any] = {}
+    fused_ids = vb.FUSED_BACKBONES.get(vision_backbone_id)
+    if dino_sd and fused_ids:
+        dino_cfg = vb.VIT_CONFIGS[fused_ids[0]]
+        legacy["dino_featurizer"] = vb.convert_timm_vit(dino_sd, dino_cfg)
+        legacy["dino_cfg"] = dino_cfg
+    if siglip_sd and fused_ids:
+        siglip_cfg = vb.VIT_CONFIGS[fused_ids[1]]
+        legacy["siglip_featurizer"] = vb.convert_timm_vit(siglip_sd, siglip_cfg)
+        legacy["siglip_cfg"] = siglip_cfg
+    if proj_sd:
+        # fused-gelu-mlp projector (util/nn_utils.py:37-53): fc1/fc2/fc3
+        legacy["projector"] = {
+            "fc1": _lin(proj_sd, "fc1"),
+            "fc2": _lin(proj_sd, "fc2"),
+            "fc3": _lin(proj_sd, "fc3"),
+        }
+    return params, legacy
+
+
 def load_base_llm(hf_dir, cfg: prismatic.MLAModelConfig, params: Dict[str, Any]) -> Dict[str, Any]:
     """Load an HF Llama base (the reference `load()` base-VLM path) into an
     existing param tree, padding the vocab to cfg.llama.vocab_size."""

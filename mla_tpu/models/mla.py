@@ -523,6 +523,36 @@ class MLAPolicy:
         normalized = self.action_tokenizer.decode_token_ids_to_actions(token_ids)
         return unnormalize_actions(normalized, self.get_action_stats(unnorm_key))
 
+    def generate_text(
+        self,
+        image,
+        pointcloud,
+        prompt: str,
+        max_new_tokens: int = 64,
+        input_ids: Optional[np.ndarray] = None,
+    ) -> str:
+        """Multimodal text generation (reference PrismaticVLM.generate /
+        generate_batch, prismatic.py:1195-1295): greedy decode over the
+        [BOS|fused|prompt] prefix, truncated at the first EOS."""
+        if input_ids is None:
+            ids = self.tokenizer(
+                f"In: {prompt}\nOut:".rstrip(), add_special_tokens=True
+            )["input_ids"]
+            input_ids = np.asarray([ids], np.int32)
+        images = {"front_image": _ensure_image_batch(image)}
+        pc = _ensure_pc_batch(pointcloud)
+        proprio = np.zeros((1, 1, self.cfg.action_dim), np.float32)
+        fn = self._ar_fn(int(input_ids.shape[1]), max_new_tokens)
+        toks = np.asarray(
+            fn(self.params, self.state, jnp.asarray(input_ids), images, pc, jnp.asarray(proprio))
+        )[0]
+        eos = np.nonzero(toks == EOS_ID)[0]
+        if len(eos):
+            toks = toks[: eos[0]]
+        if self.tokenizer is None:
+            return " ".join(str(t) for t in toks)
+        return self.tokenizer.decode(toks)
+
     def predict_action_diff_ar(
         self,
         front_image,

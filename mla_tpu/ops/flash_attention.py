@@ -57,7 +57,7 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale  # [BQ, BK]
 
-        kmask = mask_ref[0, pl.ds(ki * block_k, block_k)] > 0  # [BK]
+        kmask = mask_ref[0, 0, pl.ds(ki * block_k, block_k)] > 0  # [BK]
         s = jnp.where(kmask[None, :], s, NEG_INF)
         if causal:
             q_pos = q_offset + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -76,7 +76,7 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block
     m, l, acc = jax.lax.fori_loop(0, num_kblocks, body, (m0, l0, acc0))
     l_safe = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l_safe)
+    lse_ref[0, 0] = m + jnp.log(l_safe)
 
 
 def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
@@ -84,8 +84,8 @@ def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq
     qi = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]
-    delta = delta_ref[0]
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
     S = k_ref.shape[1]
     nk = S // block_k
     q_offset = qi * block_q
@@ -95,7 +95,7 @@ def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq
         k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * sm_scale
-        kmask = mask_ref[0, pl.ds(ki * block_k, block_k)] > 0
+        kmask = mask_ref[0, 0, pl.ds(ki * block_k, block_k)] > 0
         s = jnp.where(kmask[None, :], s, NEG_INF)
         if causal:
             q_pos = q_offset + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -115,7 +115,7 @@ def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, d
     ki = pl.program_id(1)
     k = k_ref[0].astype(jnp.float32)  # [BK, hd]
     v = v_ref[0].astype(jnp.float32)
-    kmask = mask_ref[0] > 0  # [BK]
+    kmask = mask_ref[0, 0] > 0  # [BK]
     S = q_ref.shape[1]
     nq = S // block_q
     k_offset = ki * block_k
@@ -125,8 +125,8 @@ def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, d
         dk, dv = carry
         q = q_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qi * block_q, block_q)]
-        delta = delta_ref[0, pl.ds(qi * block_q, block_q)]
+        lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)]
+        delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q)]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * sm_scale
         s = jnp.where(kmask[None, :], s, NEG_INF)
         if causal:
@@ -168,21 +168,21 @@ def _flash_fwd_impl(q, k, v, mask_i32, causal, sm_scale, block_q, block_k):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, S), lambda b, i: (b, 0)),           # mask
+            pl.BlockSpec((1, 1, S), lambda b, i: (b, 0, 0)),     # mask [BH,1,S]
             pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),  # q
             pl.BlockSpec((1, S, hd), lambda b, i: (b, 0, 0)),    # k
             pl.BlockSpec((1, S, hd), lambda b, i: (b, 0, 0)),    # v
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, S, hd), q.dtype),
-            jax.ShapeDtypeStruct((BH, S), jnp.float32),
+            jax.ShapeDtypeStruct((BH, 1, S), jnp.float32),
         ],
         interpret=interpret,
-    )(mask_i32, q, k, v)
+    )(mask_i32[:, None, :], q, k, v)
     return o, lse
 
 
@@ -194,7 +194,7 @@ def _flash_fwd(q, k, v, mask_i32, causal, sm_scale, block_q, block_k):
 def _flash_bwd(causal, sm_scale, block_q, block_k, res, do):
     q, k, v, mask_i32, o, lse = res
     BH, S, hd = q.shape
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [BH, S]
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)[:, None, :]  # [BH, 1, S]
     interpret = jax.default_backend() != "tpu"
 
     dq = pl.pallas_call(
@@ -202,31 +202,31 @@ def _flash_bwd(causal, sm_scale, block_q, block_k, res, do):
                           sm_scale=sm_scale, causal=causal),
         grid=(BH, S // block_q),
         in_specs=[
-            pl.BlockSpec((1, S), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, 1, S), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, S, hd), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, S, hd), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i)),
         ],
         out_specs=pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((BH, S, hd), q.dtype),
         interpret=interpret,
-    )(mask_i32, q, k, v, do, lse, delta)
+    )(mask_i32[:, None, :], q, k, v, do, lse, delta)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, block_q=block_q, block_k=block_k,
                           sm_scale=sm_scale, causal=causal),
         grid=(BH, S // block_k),
         in_specs=[
-            pl.BlockSpec((1, block_k), lambda b, i: (b, i)),
+            pl.BlockSpec((1, 1, block_k), lambda b, i: (b, 0, i)),
             pl.BlockSpec((1, S, hd), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, block_k, hd), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, block_k, hd), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, S, hd), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, S), lambda b, i: (b, 0)),
-            pl.BlockSpec((1, S), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, 1, S), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, S), lambda b, i: (b, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, hd), lambda b, i: (b, i, 0)),
@@ -237,7 +237,7 @@ def _flash_bwd(causal, sm_scale, block_q, block_k, res, do):
             jax.ShapeDtypeStruct((BH, S, hd), v.dtype),
         ],
         interpret=interpret,
-    )(mask_i32, q, k, v, do, lse, delta)
+    )(mask_i32[:, None, :], q, k, v, do, lse, delta)
 
     return dq, dk, dv, None
 
