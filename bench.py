@@ -51,8 +51,14 @@ def build_policy(model_id: str):
     from mla_tpu.conf.models import get_model_config
     from mla_tpu.models import mla as mla_mod
 
-    cfg = get_model_config(model_id, use_contrastive=False)
+    quantize = model_id.endswith("-int8")
+    base_id = model_id[: -len("-int8")] if quantize else model_id
+    cfg = get_model_config(base_id, use_contrastive=False)
     params, state = _zeros_model(cfg)
+    if quantize:
+        from mla_tpu.ops.quantization import quantize_model
+
+        params = quantize_model(params)
     stats = {
         "rlbench": {
             "action": {"q01": [-1.0] * cfg.action_dim, "q99": [1.0] * cfg.action_dim},
@@ -168,7 +174,8 @@ def main():
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
-    candidates = ["mla-7b", "mla-2b"] if on_tpu else ["mla-tiny"]
+    # flagship bf16 first; int8 weight-only 7B (fits one 16GB chip); 2b last
+    candidates = ["mla-7b", "mla-7b-int8", "mla-2b"] if on_tpu else ["mla-tiny"]
 
     # each candidate runs in its own process so a failed (e.g. OOM) attempt's
     # device allocations are fully released before the fallback runs

@@ -265,14 +265,22 @@ def llama_forward(
         }
     if compute_logits:
         # fp32 logits, reference modeling_llama.py:1256
-        out["logits"] = (
-            out["last_hidden"].astype(jnp.float32) @ params["lm_head"]["w"].astype(jnp.float32)
-        )
+        head = params["lm_head"]
+        if "w_q" in head:
+            head_w = head["w_q"].astype(jnp.float32) * head["w_scale"].astype(jnp.float32)
+        else:
+            head_w = head["w"].astype(jnp.float32)
+        out["logits"] = out["last_hidden"].astype(jnp.float32) @ head_w
     return out
 
 
 def embed_tokens(params: Dict[str, Any], ids: jnp.ndarray) -> jnp.ndarray:
-    return nn.embedding(params["embed"], ids)
+    emb = params["embed"]
+    if "table_q" in emb:  # int8 weight-only quantized (ops/quantization.py)
+        rows = jnp.take(emb["table_q"], ids, axis=0)
+        scales = jnp.take(emb["table_scale"], ids, axis=0)
+        return rows.astype(jnp.bfloat16) * scales.astype(jnp.bfloat16)
+    return nn.embedding(emb, ids)
 
 
 def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: int = -100):

@@ -93,7 +93,13 @@ def linear_init(
 
 
 def linear(p: Params, x):
-    y = x @ p["w"].astype(x.dtype)
+    if "w_q" in p:
+        # weight-only int8 (ops/quantization.py): dequant fuses into the
+        # matmul; HBM reads the int8 tensor (half the bf16 bandwidth)
+        w = p["w_q"].astype(x.dtype) * p["w_scale"].astype(x.dtype)
+    else:
+        w = p["w"].astype(x.dtype)
+    y = x @ w
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

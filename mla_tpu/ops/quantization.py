@@ -1,0 +1,68 @@
+"""Weight-only int8 quantization for single-chip serving.
+
+Motivation: the 7B flagship in bf16 (13.4 GB) does not fit comfortably on
+one 16 GB v5e chip (the reference serves from a 40 GB A100); per-channel
+int8 weights halve storage AND HBM read bandwidth with near-lossless
+serving quality. Activations stay bf16; dequant (int8 -> bf16 * scale)
+fuses into the consuming matmul under XLA.
+
+Representation: a quantized linear leaf dict {'w_q': int8 [..., in, out],
+'w_scale': f32 [..., 1, out]} is understood transparently by nn.linear;
+quantized embeddings are {'table_q': int8 [V, D], 'table_scale': f32 [V, 1]}
+handled by llama.embed_tokens.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight(w: jnp.ndarray, axis: int = -2) -> Dict[str, jnp.ndarray]:
+    """Symmetric per-output-channel int8: scale over the reduction axis
+    (default -2 = the `in` dim of our [in, out] layout)."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"w_q": q, "w_scale": scale}
+
+
+def dequantize_weight(p: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
+    return p["w_q"].astype(dtype) * p["w_scale"].astype(dtype)
+
+
+def quantize_embedding(table: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    tf_ = table.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(tf_), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(tf_ / scale), -127, 127).astype(jnp.int8)
+    return {"table_q": q, "table_scale": scale}
+
+
+def quantize_llama(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize every big matmul of a models/llama.py param tree (q/k/v/o,
+    gate/up/down, lm_head, embedding). Norm scales stay fp."""
+    lp = params["layers"]
+    out = {
+        "embed": quantize_embedding(params["embed"]["table"]),
+        "layers": {
+            "attn": {k: quantize_weight(lp["attn"][k]["w"]) for k in ("q", "k", "v", "o")},
+            "mlp": {k: quantize_weight(lp["mlp"][k]["w"]) for k in ("gate", "up", "down")},
+            "input_ln": lp["input_ln"],
+            "post_ln": lp["post_ln"],
+        },
+        "final_ln": params["final_ln"],
+        "lm_head": quantize_weight(params["lm_head"]["w"]),
+    }
+    return out
+
+
+def quantize_model(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize the LLM backbone of a full MLA param tree; the small
+    front-end/head modules (< 2% of bytes) stay in their original dtype."""
+    out = dict(params)
+    out["llm_backbone"] = quantize_llama(params["llm_backbone"])
+    return out
