@@ -54,11 +54,29 @@ def build_policy(model_id: str):
     quantize = model_id.endswith("-int8")
     base_id = model_id[: -len("-int8")] if quantize else model_id
     cfg = get_model_config(base_id, use_contrastive=False)
-    params, state = _zeros_model(cfg)
     if quantize:
+        # build the QUANTIZED tree directly from shapes — quantizing real
+        # zeros on-device would materialize fp32 transients and OOM the chip
+        import jax.numpy as jnp
+
+        from mla_tpu.models import prismatic
         from mla_tpu.ops.quantization import quantize_model
 
-        params = quantize_model(params)
+        shapes = jax.eval_shape(
+            lambda k: prismatic.mla_model_init(k, cfg), jax.random.PRNGKey(0)
+        )
+        q_shapes = jax.eval_shape(quantize_model, shapes[0])
+        params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), q_shapes)
+        # unit scales so dequant produces finite (zero) weights
+        params["llm_backbone"] = jax.tree_util.tree_map_with_path(
+            lambda p, x: jnp.ones(x.shape, x.dtype) if "scale" in str(p[-1]) else x,
+            params["llm_backbone"],
+        )
+        state = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes[1]
+        )
+    else:
+        params, state = _zeros_model(cfg)
     stats = {
         "rlbench": {
             "action": {"q01": [-1.0] * cfg.action_dim, "q99": [1.0] * cfg.action_dim},

@@ -66,3 +66,39 @@ def quantize_model(params: Dict[str, Any]) -> Dict[str, Any]:
     out = dict(params)
     out["llm_backbone"] = quantize_llama(params["llm_backbone"])
     return out
+
+
+def quantize_model_host(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Host-side (numpy) variant for quantizing REAL checkpoints before
+    device_put — avoids materializing fp32 transients in HBM."""
+    import numpy as np
+
+    def qw(w):
+        wf = np.asarray(w, np.float32)
+        amax = np.max(np.abs(wf), axis=-2, keepdims=True)
+        scale = np.maximum(amax, 1e-8) / 127.0
+        q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
+        return {"w_q": q, "w_scale": scale.astype(np.float32)}
+
+    def qe(table):
+        tf_ = np.asarray(table, np.float32)
+        amax = np.max(np.abs(tf_), axis=-1, keepdims=True)
+        scale = np.maximum(amax, 1e-8) / 127.0
+        q = np.clip(np.round(tf_ / scale), -127, 127).astype(np.int8)
+        return {"table_q": q, "table_scale": scale.astype(np.float32)}
+
+    llama = params["llm_backbone"]
+    lp = llama["layers"]
+    out = dict(params)
+    out["llm_backbone"] = {
+        "embed": qe(llama["embed"]["table"]),
+        "layers": {
+            "attn": {k: qw(lp["attn"][k]["w"]) for k in ("q", "k", "v", "o")},
+            "mlp": {k: qw(lp["mlp"][k]["w"]) for k in ("gate", "up", "down")},
+            "input_ln": lp["input_ln"],
+            "post_ln": lp["post_ln"],
+        },
+        "final_ln": llama["final_ln"],
+        "lm_head": qw(llama["lm_head"]["w"]),
+    }
+    return out

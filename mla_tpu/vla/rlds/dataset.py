@@ -244,3 +244,48 @@ def make_interleaved_dataset(
     ds = apply_frame_transforms(ds, image_size=image_size, train=train, augment=augment)
     ds = ds.prefetch(tf.data.AUTOTUNE)
     return ds, all_stats
+
+
+class RLDSDataset:
+    """Iterable frame-stream dataset (reference RLDSDataset,
+    vla/datasets/datasets.py:187-303): wraps the interleaved tf.data graph
+    and yields numpy frames for the host batch transform."""
+
+    def __init__(self, data_root_dir: str, data_mix: str, *, train: bool = True,
+                 shuffle_buffer_size: int = 10_000, future_action_window_size: int = 15,
+                 load_pointcloud: bool = True, load_tactile: bool = False,
+                 image_size: int = 672, augment: bool = False, seed: int = 0) -> None:
+        self.dataset, self.dataset_statistics = make_interleaved_dataset(
+            data_mix, data_root_dir, train=train,
+            shuffle_buffer_size=shuffle_buffer_size,
+            future_action_window_size=future_action_window_size,
+            load_pointcloud=load_pointcloud, load_tactile=load_tactile,
+            image_size=image_size, augment=augment, seed=seed,
+        )
+
+    def __iter__(self):
+        return self.dataset.as_numpy_iterator()
+
+
+class EpisodicRLDSDataset:
+    """Episode-level iteration (reference EpisodicRLDSDataset): yields whole
+    trajectories (chunked, normalized, frame-transformed) instead of a
+    flattened frame stream — used for evaluation-style replay."""
+
+    def __init__(self, data_root_dir: str, dataset_name: str, *, train: bool = False,
+                 future_action_window_size: int = 15, load_pointcloud: bool = True,
+                 load_tactile: bool = False, image_size: int = 672) -> None:
+        ds, stats = make_dataset_from_rlds(
+            dataset_name, data_root_dir, train=train,
+            load_pointcloud=load_pointcloud, load_tactile=load_tactile,
+        )
+        ds = apply_trajectory_transforms(
+            ds, future_action_window_size=future_action_window_size,
+            dataset_statistics=stats, train=train,
+        )
+        # frame transforms applied per-trajectory (no flattening)
+        self.dataset = apply_frame_transforms(ds, image_size=image_size, train=train)
+        self.dataset_statistics = stats
+
+    def __iter__(self):
+        return self.dataset.as_numpy_iterator()

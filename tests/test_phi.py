@@ -1,0 +1,65 @@
+"""Phi-2 decoder: shapes, causality, KV cache, HF parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mla_tpu.models import phi
+
+
+@pytest.fixture(scope="module")
+def small():
+    cfg = phi.PHI_TEST
+    params = phi.phi_init(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_forward_shapes(small):
+    cfg, params = small
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, cfg.hidden_size))
+    out = phi.phi_forward(params, cfg, x)
+    assert out["logits"].shape == (2, 6, cfg.vocab_size)
+    assert out["hidden_mid"].shape == (2, 6, cfg.hidden_size)
+
+
+def test_kv_cache_matches_full(small):
+    cfg, params = small
+    S = 8
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, S, cfg.hidden_size))
+    full = phi.phi_forward(params, cfg, x)["logits"]
+    cache = phi.init_kv_cache(cfg, 1, 16, dtype=jnp.float32)
+    km = (jnp.arange(16) < S - 1)[None]
+    pre = phi.phi_forward(params, cfg, x[:, : S - 1], kv_cache=cache, key_mask=km)
+    np.testing.assert_allclose(np.asarray(pre["logits"][0, -1]), np.asarray(full[0, S - 2]), atol=3e-3)
+    km2 = (jnp.arange(16) < S)[None]
+    step = phi.phi_forward(params, cfg, x[:, S - 1 :], kv_cache=pre["kv_cache"], cache_len=S - 1, key_mask=km2)
+    np.testing.assert_allclose(np.asarray(step["logits"][0, 0]), np.asarray(full[0, S - 1]), atol=3e-3)
+
+
+def test_matches_hf_phi(small):
+    torch = pytest.importorskip("torch")
+    hf = pytest.importorskip("transformers")
+    cfg, _ = small
+    config = hf.PhiConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        partial_rotary_factor=cfg.partial_rotary_factor,
+        layer_norm_eps=cfg.ln_eps,
+        tie_word_embeddings=False,
+    )
+    model = hf.PhiForCausalLM(config)
+    model.eval()
+    params = phi.convert_hf_phi(model.state_dict(), cfg.num_layers)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    ids = np.array([[3, 17, 42, 9, 88]])
+    with torch.no_grad():
+        want = model(torch.tensor(ids)).logits.numpy()
+    emb = jnp.take(params["embed"]["table"], jnp.asarray(ids), axis=0)
+    got = np.asarray(phi.phi_forward(params, cfg, emb)["logits"])
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
