@@ -192,8 +192,9 @@ def main():
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
-    # flagship bf16 first; int8 weight-only 7B (fits one 16GB chip); 2b last
-    candidates = ["mla-7b", "mla-7b-int8", "mla-2b"] if on_tpu else ["mla-tiny"]
+    # int8 weight-only 7B serves from one 16GB chip (bf16-7B needs TP over a
+    # v5e-8 — the single tunnel chip can't hold it); 2b is the fallback
+    candidates = ["mla-7b-int8", "mla-2b"] if on_tpu else ["mla-tiny"]
 
     # each candidate runs in its own process so a failed (e.g. OOM) attempt's
     # device allocations are fully released before the fallback runs

@@ -64,6 +64,20 @@ def mla_2b(**kw) -> prismatic.MLAModelConfig:
     return replace(cfg, llama=replace(cfg.llama, num_layers=8))
 
 
+def mla_small(**kw) -> prismatic.MLAModelConfig:
+    """~120M decoder with PRODUCTION-SHAPE hot loops (head_dim 128, full
+    672px/1024-pt front-ends, real sequence lengths) — single-chip
+    TRAINING smoke incl. optimizer states; exercises the Pallas flash
+    kernels fwd+bwd at real tile shapes."""
+    cfg = mla_7b(**kw)
+    llama_cfg = replace(
+        cfg.llama, hidden_size=1024, intermediate_size=2816, num_layers=4,
+        num_heads=8, num_kv_heads=8, contrastive_layer=2,
+    )
+    gen = _gen_cfg(1024, cfg.use_generation, cfg.use_tactile, cfg.use_roi)
+    return replace(cfg, llama=llama_cfg, gen=gen)
+
+
 def mla_tiny(**kw) -> prismatic.MLAModelConfig:
     """CI-size: full architecture at toy dims (see tests/tiny.py analogue)."""
     D = 64
@@ -103,6 +117,7 @@ MODEL_REGISTRY: Dict[str, Callable[..., prismatic.MLAModelConfig]] = {
     "mla-7b": mla_7b,
     "prism-dinosiglip-224px+7b": mla_7b,  # the reference's base_vlm id
     "mla-2b": mla_2b,
+    "mla-small": mla_small,
     "mla-tiny": mla_tiny,
 }
 

@@ -147,15 +147,9 @@ def make_train_step(
         metrics["grad_norm"] = grad_norm
         return new_state, metrics
 
-    if mesh is None:
-        return jax.jit(train_step, donate_argnums=(0,))
-
-    rep = NamedSharding(mesh, P())
-    state_sh = None  # inferred from inputs; params dominated by fsdp specs
-
-    # build state sharding lazily at first call via eval_shape is complex;
-    # rely on input shardings of `state` being already correct and use
-    # donate + sharding propagation.
+    # With a mesh, shardings come from the INPUT state (placed by
+    # shard_train_state) and propagate through jit; XLA inserts the
+    # all-gathers/reduce-scatters. Donation reuses the old state's buffers.
     return jax.jit(train_step, donate_argnums=(0,))
 
 
