@@ -266,11 +266,12 @@ def llama_forward(
     if compute_logits:
         # fp32 logits, reference modeling_llama.py:1256
         head = params["lm_head"]
+        hf = out["last_hidden"].astype(jnp.float32)
         if "w_q" in head:
-            head_w = head["w_q"].astype(jnp.float32) * head["w_scale"].astype(jnp.float32)
+            # scale after the dot (see nn.linear) so the int8 read fuses
+            out["logits"] = (hf @ head["w_q"].astype(jnp.float32)) * head["w_scale"][0].astype(jnp.float32)
         else:
-            head_w = head["w"].astype(jnp.float32)
-        out["logits"] = out["last_hidden"].astype(jnp.float32) @ head_w
+            out["logits"] = hf @ head["w"].astype(jnp.float32)
     return out
 
 

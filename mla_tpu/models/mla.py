@@ -288,15 +288,39 @@ def greedy_decode_actions(
     prefix_len: int,
     last_logits: jnp.ndarray,  # [B, V] from prefill
     num_tokens: int,
+    *,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    key: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """Greedy AR decode of `num_tokens` action tokens; returns [B, num_tokens].
-    (reference predict_action_ar via HF generate, model_mla.py:564-574)."""
+    """AR decode of `num_tokens` tokens as a lax.scan; returns [B, num_tokens].
+    temperature == 0 -> greedy (the reference predict_action_ar via HF
+    generate, model_mla.py:564-574); temperature > 0 -> sampling with
+    optional top-k truncation (HF GenerationMixin's do_sample options)."""
     B = last_logits.shape[0]
     cache_max = kv_cache["k"].shape[3]
+    if temperature > 0 and key is None:
+        raise ValueError("sampling requires a PRNG key")
+    keys = (
+        jax.random.split(key, num_tokens)
+        if key is not None
+        else jnp.zeros((num_tokens, 2), jnp.uint32)
+    )
 
-    def step(carry, i):
+    def select(logits, k):
+        if temperature <= 0:
+            return jnp.argmax(logits, axis=-1)
+        scaled = logits / temperature
+        if top_k > 0:
+            vals, _ = jax.lax.top_k(scaled, top_k)
+            cutoff = vals[:, -1:]
+            scaled = jnp.where(scaled >= cutoff, scaled, -jnp.inf)
+        return jax.random.categorical(k, scaled, axis=-1)
+
+    def step(carry, inputs):
+        i, k = inputs
         cache, logits = carry
-        tok = jnp.argmax(logits, axis=-1)  # [B]
+        tok = select(logits, k)  # [B]
         emb = llama_mod.embed_tokens(params["llm_backbone"], tok[:, None])
         key_mask = (jnp.arange(cache_max) < prefix_len + i + 1)[None, :].repeat(B, axis=0)
         out = llama_mod.llama_forward(
@@ -305,7 +329,7 @@ def greedy_decode_actions(
         )
         return (out["kv_cache"], out["logits"][:, -1]), tok
 
-    (_, _), toks = jax.lax.scan(step, (kv_cache, last_logits), jnp.arange(num_tokens))
+    (_, _), toks = jax.lax.scan(step, (kv_cache, last_logits), (jnp.arange(num_tokens), keys))
     return jnp.swapaxes(toks, 0, 1)  # [B, num_tokens]
 
 

@@ -94,12 +94,26 @@ def linear_init(
 
 def linear(p: Params, x):
     if "w_q" in p:
-        # weight-only int8 (ops/quantization.py): dequant fuses into the
-        # matmul; HBM reads the int8 tensor (half the bf16 bandwidth)
-        w = p["w_q"].astype(x.dtype) * p["w_scale"].astype(x.dtype)
+        # weight-only int8 (ops/quantization.py). XLA materializes
+        # convert(int8->bf16) weights to HBM before a dot (measured 34 ms vs
+        # the ~9 ms int8-bandwidth bound per 7B decode step), so on TPU the
+        # matmul runs as a Pallas kernel that dequantizes tile-wise in VMEM.
+        wq = p["w_q"]
+        if (
+            jax.default_backend() == "tpu"
+            and wq.ndim == 2
+            and wq.shape[0] % 128 == 0
+            and wq.shape[1] % 128 == 0
+        ):
+            from mla_tpu.ops.quantization import int8_linear
+
+            return int8_linear(p, x)
+        # fallback: scale after the dot (x @ (q*s) == (x @ q) * s, scale is
+        # per output channel)
+        y = x @ wq.astype(x.dtype)
+        y = y * p["w_scale"][..., 0, :].astype(x.dtype)
     else:
-        w = p["w"].astype(x.dtype)
-    y = x @ w
+        y = x @ p["w"].astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

@@ -47,19 +47,30 @@ def furthest_point_sample(
     *,
     key: Optional[jax.Array] = None,
     deterministic: bool = True,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """FPS indices [B, npoint] for xyz [B, N, 3].
 
     Matches the reference algorithm (Point_PN.py:6-21): iteratively pick the
     point furthest from the selected set, tracking the running min distance.
     Start point: index 0 when deterministic (bit-match mode), else uniform
-    random per batch element via `key` (reference uses torch.randint)."""
+    random per batch element via `key` (reference uses torch.randint).
+
+    On TPU the whole sequential loop runs inside one Pallas kernel
+    (ops/pointops_pallas.py) — identical indices, no per-iteration dispatch."""
     B, N, _ = xyz.shape
     xyzf = xyz.astype(jnp.float32)
     if deterministic or key is None:
         farthest0 = jnp.zeros((B,), dtype=jnp.int32)
     else:
         farthest0 = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and N % 128 == 0
+    if use_pallas:
+        from mla_tpu.ops.pointops_pallas import fps_pallas
+
+        return fps_pallas(xyzf, npoint, start=farthest0)
 
     batch_ar = jnp.arange(B)
 

@@ -102,3 +102,75 @@ def quantize_model_host(params: Dict[str, Any]) -> Dict[str, Any]:
         "lm_head": qw(llama["lm_head"]["w"]),
     }
     return out
+
+
+# --------------------------------------------------------------------------- #
+# Pallas int8-weight matmul (serving hot path)
+# --------------------------------------------------------------------------- #
+#
+# XLA materializes `convert(int8->bf16)` of a weight operand to HBM before
+# the dot (measured: 34 ms vs the ~9 ms bandwidth bound per 7B decode step).
+# This kernel streams int8 weight tiles into VMEM, dequantizes on-chip, and
+# feeds the MXU — HBM traffic is the int8 bytes only.
+
+import functools as _functools
+
+from jax.experimental import pallas as _pl
+
+
+def _int8_mm_kernel(x_ref, wq_ref, scale_ref, o_ref):
+    x = x_ref[0]                               # [M, K] (bf16/f32 as given)
+    w = wq_ref[0].astype(x.dtype)              # [K, BN] dequant in VMEM
+    s = scale_ref[0][0].astype(jnp.float32)    # [BN]
+    acc = jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0] = (acc * s[None, :]).astype(o_ref.dtype)
+
+
+def int8_matmul(
+    x: jnp.ndarray,        # [M, K] activations
+    w_q: jnp.ndarray,      # [K, N] int8
+    w_scale: jnp.ndarray,  # [1, N] or [N]
+    *,
+    block_n: int = 256,
+    interpret=None,
+) -> jnp.ndarray:
+    """x @ dequant(w) with tile-wise on-chip dequantization. M is padded to
+    the sublane multiple internally."""
+    M, K = x.shape
+    N = w_q.shape[1]
+    scale = w_scale.reshape(1, N)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    sub = 8
+    Mp = (M + sub - 1) // sub * sub
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    bn = min(block_n, N)
+
+    out = _pl.pallas_call(
+        _int8_mm_kernel,
+        grid=(N // bn,),
+        in_specs=[
+            _pl.BlockSpec((1, Mp, K), lambda j: (0, 0, 0)),
+            _pl.BlockSpec((1, K, bn), lambda j: (0, 0, j)),
+            _pl.BlockSpec((1, 1, bn), lambda j: (0, 0, j)),
+        ],
+        out_specs=_pl.BlockSpec((1, Mp, bn), lambda j: (0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((1, Mp, N), x.dtype),
+        interpret=interpret,
+    )(x[None], w_q[None], scale[None])
+    return out[0, :M]
+
+
+def int8_linear(p: Dict[str, Any], x: jnp.ndarray, *, block_n: int = 256) -> jnp.ndarray:
+    """nn.linear-compatible entry: x [..., K] with {'w_q','w_scale'(,'b')}."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    y = int8_matmul(x.reshape(-1, K), p["w_q"], p["w_scale"].reshape(1, -1), block_n=block_n)
+    y = y.reshape(lead + (y.shape[-1],))
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
