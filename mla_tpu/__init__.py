@@ -24,3 +24,16 @@ Layout (mirrors the reference's layer map, SURVEY.md section 1):
 """
 
 __version__ = "0.1.0"
+
+
+def load_vla(*args, **kwargs):
+    """Lazy convenience re-export (models/load.py)."""
+    from mla_tpu.models.load import load_vla as _load_vla
+
+    return _load_vla(*args, **kwargs)
+
+
+def available_models():
+    from mla_tpu.conf.models import MODEL_REGISTRY
+
+    return sorted(MODEL_REGISTRY)

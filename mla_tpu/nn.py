@@ -94,24 +94,44 @@ def linear_init(
 
 def linear(p: Params, x):
     if "w_q" in p:
-        # weight-only int8 (ops/quantization.py). XLA materializes
-        # convert(int8->bf16) weights to HBM before a dot (measured 34 ms vs
-        # the ~9 ms int8-bandwidth bound per 7B decode step), so on TPU the
-        # matmul runs as a Pallas kernel that dequantizes tile-wise in VMEM.
+        # int8-quantized leaf (ops/quantization.py). Execution modes
+        # (MLA_INT8_MODE env, default "w8a8" on TPU, "dequant" elsewhere):
+        #   w8a8    — per-token dynamic activation quantization + NATIVE
+        #             int8xint8 MXU dot (exact integer matmul, rescaled
+        #             fp32): HBM reads the int8 weights only and the MXU
+        #             runs at its int8 rate. Serving-grade numerics
+        #             (per-token + per-channel scales).
+        #   dequant — bf16 dot on converted weights (numerics-safe master
+        #             path; XLA materializes the converted weights, ~3x
+        #             decode-step traffic).
+        #   pallas  — ops/quantization.int8_linear VMEM-dequant kernel
+        #             (correct standalone; crashes this env's remote TPU
+        #             compile helper when embedded in the scanned decoder).
+        import os
+
         wq = p["w_q"]
-        if (
-            jax.default_backend() == "tpu"
-            and wq.ndim == 2
-            and wq.shape[0] % 128 == 0
-            and wq.shape[1] % 128 == 0
-        ):
+        mode = os.environ.get(
+            "MLA_INT8_MODE", "w8a8" if jax.default_backend() == "tpu" else "dequant"
+        )
+        if mode == "pallas" and wq.ndim == 2 and wq.shape[0] % 128 == 0 and wq.shape[1] % 128 == 0:
             from mla_tpu.ops.quantization import int8_linear
 
             return int8_linear(p, x)
-        # fallback: scale after the dot (x @ (q*s) == (x @ q) * s, scale is
-        # per output channel)
-        y = x @ wq.astype(x.dtype)
-        y = y * p["w_scale"][..., 0, :].astype(x.dtype)
+        if mode == "w8a8":
+            xf = x.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            sx = jnp.maximum(amax, 1e-8) / 127.0
+            xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, wq, (((xq.ndim - 1,), (wq.ndim - 2,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(jnp.float32) * sx * p["w_scale"][..., 0, :].astype(jnp.float32)
+            y = y.astype(x.dtype)
+        else:
+            # dequant: scale after the dot (x @ (q*s) == (x @ q) * s)
+            y = x @ wq.astype(x.dtype)
+            y = y * p["w_scale"][..., 0, :].astype(x.dtype)
     else:
         y = x @ p["w"].astype(x.dtype)
     if "b" in p:

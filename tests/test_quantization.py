@@ -66,3 +66,34 @@ def test_memory_halved():
     fp = nbytes(params)
     qt = nbytes(q.quantize_llama(params))
     assert qt < 0.45 * fp  # fp32 -> int8 (+small scales)
+
+
+def test_w8a8_mode_accuracy(monkeypatch):
+    """Dynamic per-token activation quant + int8 dot (the TPU serving
+    default) stays within ~2% of the fp path."""
+    monkeypatch.setenv("MLA_INT8_MODE", "w8a8")
+    key = jax.random.PRNGKey(7)
+    p = nn.linear_init(key, 64, 32)
+    x = jax.random.normal(jax.random.PRNGKey(8), (3, 5, 64))
+    y_fp = nn.linear(p, x)
+    pq = {**q.quantize_weight(p["w"]), "b": p["b"]}
+    y_q = nn.linear(pq, x)
+    rel = float(jnp.abs(y_fp - y_q).max() / (jnp.abs(y_fp).max() + 1e-9))
+    assert rel < 0.03, rel
+
+
+def test_w8a8_quantized_llama(monkeypatch):
+    monkeypatch.setenv("MLA_INT8_MODE", "w8a8")
+    cfg = llama_mod.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=4, max_position_embeddings=32,
+        contrastive_layer=1, compute_dtype=jnp.float32,
+    )
+    params = llama_mod.llama_init(jax.random.PRNGKey(3), cfg)
+    qparams = q.quantize_llama(params)
+    ids = jnp.asarray(np.array([[3, 17, 42, 9]]))
+    emb = llama_mod.embed_tokens(params, ids)
+    out_fp = llama_mod.llama_forward(params, cfg, emb)["logits"]
+    out_q = llama_mod.llama_forward(qparams, cfg, emb)["logits"]
+    denom = np.abs(np.asarray(out_fp)).max()
+    assert np.abs(np.asarray(out_fp - out_q)).max() / denom < 0.08
