@@ -187,6 +187,7 @@ def llama_forward(
     remat: bool = False,
     use_flash: Optional[bool] = None,
     compute_logits: bool = True,
+    scan_unroll: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Decoder forward from embeddings.
 
@@ -199,9 +200,19 @@ def llama_forward(
 
     Returns {'last_hidden', 'hidden_mid', 'logits'?, 'kv_cache'?}, where
     hidden_mid is hidden_states[cfg.contrastive_layer] in HF indexing.
+
+    scan_unroll: layer "scan" strategy. Short-sequence decode steps are
+    bottlenecked by the scan's per-iteration DYNAMIC weight slicing (XLA
+    copies each layer's weights before the dot — 3x HBM traffic measured),
+    so decode (S < 64) defaults to a FULL python unroll with static slices;
+    training/prefill keep the compiled scan (compile size, remat). Pass an
+    int >= num_layers to force full unroll, 1 for pure scan.
     """
     B, S, D = inputs_embeds.shape
     h = inputs_embeds.astype(cfg.compute_dtype)
+    if scan_unroll is None:
+        scan_unroll = cfg.num_layers if (S < 64 and not remat) else 1
+    full_unroll = scan_unroll >= cfg.num_layers
 
     if positions is None:
         positions = jnp.arange(S) + cache_len
@@ -228,12 +239,32 @@ def llama_forward(
     k_split = cfg.contrastive_layer
 
     def scan_layers(h, lp_slice, cache_slice):
+        if full_unroll:
+            # python loop with STATIC per-layer slices: the dot reads each
+            # weight in place (no per-iteration gather copy)
+            n = jax.tree_util.tree_leaves(lp_slice)[0].shape[0]
+            nks, nvs = [], []
+            for i in range(n):
+                lp_i = jax.tree_util.tree_map(lambda a: a[i], lp_slice)
+                ck = (
+                    (cache_slice["k"][i], cache_slice["v"][i])
+                    if cache_slice is not None
+                    else None
+                )
+                h, nc = layer(lp_i, h, ck)
+                if nc is not None:
+                    nks.append(nc[0])
+                    nvs.append(nc[1])
+            if cache_slice is None:
+                return h, None
+            return h, {"k": jnp.stack(nks), "v": jnp.stack(nvs)}
+
         if cache_slice is None:
             def step(carry, lp):
                 new_h, _ = layer(lp, carry, None)
                 return new_h, None
 
-            h, _ = jax.lax.scan(step, h, lp_slice)
+            h, _ = jax.lax.scan(step, h, lp_slice, unroll=scan_unroll)
             return h, None
 
         def step(carry, xs):
@@ -241,7 +272,9 @@ def llama_forward(
             new_h, (nk, nv) = layer(lp, carry, (ck, cv))
             return new_h, (nk, nv)
 
-        h, (nk, nv) = jax.lax.scan(step, h, (lp_slice, cache_slice["k"], cache_slice["v"]))
+        h, (nk, nv) = jax.lax.scan(
+            step, h, (lp_slice, cache_slice["k"], cache_slice["v"]), unroll=scan_unroll
+        )
         return h, {"k": nk, "v": nv}
 
     def slice_tree(tree, lo, hi):

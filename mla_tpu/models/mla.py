@@ -201,6 +201,9 @@ def prefill(
     out = llama_mod.llama_forward(
         params["llm_backbone"], cfg.llama, prefix_embeds,
         kv_cache=cache, cache_len=0, key_mask=key_mask, compute_logits=compute_logits,
+        # serving prefill: full layer unroll avoids the scan's dynamic
+        # weight-slice copies (same finding as the decode path)
+        scan_unroll=cfg.llama.num_layers,
     )
     return out["kv_cache"], (out["logits"][:, -1] if compute_logits else None)
 
