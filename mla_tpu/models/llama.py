@@ -243,6 +243,8 @@ def llama_forward(
             # python loop with STATIC per-layer slices: the dot reads each
             # weight in place (no per-iteration gather copy)
             n = jax.tree_util.tree_leaves(lp_slice)[0].shape[0]
+            if n == 0:  # empty segment (contrastive_layer == num_layers)
+                return h, cache_slice
             nks, nvs = [], []
             for i in range(n):
                 lp_i = jax.tree_util.tree_map(lambda a: a[i], lp_slice)

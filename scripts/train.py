@@ -212,6 +212,7 @@ def main(argv=None):
 
     # --- loop (reference run_vla_training, base_strategy_mla.py:251-404) ---
     data_iter = iter(dataset)
+    steps_per_epoch = max(tc.shuffle_buffer_size // tc.global_batch_size, 1)
     for step in range(start_step, num_steps):
         if collator is not None:
             host_batch = collator([next(data_iter) for _ in range(per_host_batch)])
@@ -221,7 +222,8 @@ def main(argv=None):
         step_key = jax.random.fold_in(rng, step)
         state, step_metrics = step_fn(state, batch, step_key)
         metrics.commit(
-            global_step=step, lr=float(schedule(step)), update_step_time=True,
+            global_step=step, epoch=step // steps_per_epoch,
+            lr=float(schedule(step)), update_step_time=True,
             **{k: v for k, v in step_metrics.items()},
         )
         if step % 10 == 0 or step == num_steps - 1:
