@@ -331,3 +331,10 @@ def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: int =
     nll = jnp.where(valid, nll, 0.0)
     count = jnp.maximum(valid.sum(), 1)
     return nll.sum() / count
+
+
+# canonical decoder-module interface (used by the family selector in
+# models/prismatic.py; models/phi.py exports the same names)
+init = llama_init
+forward = llama_forward
+Config = LlamaConfig

@@ -175,7 +175,8 @@ def build_prefix_embeds(
     fused_out = prismatic.get_fused_tokens(
         params, state, cfg, images, point_cloud, tactile, gripper_xyz, training=False
     )
-    text_emb = llama_mod.embed_tokens(params["llm_backbone"], input_ids_prefix)
+    decoder = prismatic.get_decoder(cfg)
+    text_emb = decoder.embed_tokens(params["llm_backbone"], input_ids_prefix)
     prefix = jnp.concatenate(
         [text_emb[:, :1], fused_out["fused"].astype(text_emb.dtype), text_emb[:, 1:]], axis=1
     )
@@ -196,9 +197,10 @@ def prefill(
     """Run the prefix through the decoder, returning (kv_cache, last_logits).
     The diffusion path skips the lm_head (157 GFLOP/step saved at 7B)."""
     B, P, _ = prefix_embeds.shape
-    cache = llama_mod.init_kv_cache(cfg.llama, B, cache_max_len)
+    decoder = prismatic.get_decoder(cfg)
+    cache = decoder.init_kv_cache(cfg.llama, B, cache_max_len)
     key_mask = (jnp.arange(cache_max_len) < P)[None, :].repeat(B, axis=0)
-    out = llama_mod.llama_forward(
+    out = decoder.forward(
         params["llm_backbone"], cfg.llama, prefix_embeds,
         kv_cache=cache, cache_len=0, key_mask=key_mask, compute_logits=compute_logits,
         # serving prefill: full layer unroll avoids the scan's dynamic
@@ -222,10 +224,11 @@ def make_suffix_denoise_fn(
     horizon = cfg.action_horizon
     cache_max = kv_cache["k"].shape[3]
 
+    decoder = prismatic.get_decoder(cfg)
     proprio_emb = embedders.action_embedder(
         params["proprio_embedder"], proprio.astype(cfg.llama.compute_dtype)
     )
-    tail_emb = llama_mod.embed_tokens(params["llm_backbone"], tail_ids)
+    tail_emb = decoder.embed_tokens(params["llm_backbone"], tail_ids)
     suffix_len = 2 + horizon + tail_ids.shape[1]
     key_mask = (jnp.arange(cache_max) < prefix_len + suffix_len)[None, :].repeat(B, axis=0)
 
@@ -237,7 +240,7 @@ def make_suffix_denoise_fn(
         suffix = jnp.concatenate(
             [proprio_emb, t_emb.astype(x_emb.dtype), x_emb, tail_emb], axis=1
         )
-        out = llama_mod.llama_forward(
+        out = decoder.forward(
             params["llm_backbone"], cfg.llama, suffix,
             kv_cache=kv_cache, cache_len=prefix_len, key_mask=key_mask,
             compute_logits=False,
@@ -300,6 +303,7 @@ def greedy_decode_actions(
     temperature == 0 -> greedy (the reference predict_action_ar via HF
     generate, model_mla.py:564-574); temperature > 0 -> sampling with
     optional top-k truncation (HF GenerationMixin's do_sample options)."""
+    decoder = prismatic.get_decoder(cfg)
     B = last_logits.shape[0]
     cache_max = kv_cache["k"].shape[3]
     if temperature > 0 and key is None:
@@ -324,9 +328,9 @@ def greedy_decode_actions(
         i, k = inputs
         cache, logits = carry
         tok = select(logits, k)  # [B]
-        emb = llama_mod.embed_tokens(params["llm_backbone"], tok[:, None])
+        emb = decoder.embed_tokens(params["llm_backbone"], tok[:, None])
         key_mask = (jnp.arange(cache_max) < prefix_len + i + 1)[None, :].repeat(B, axis=0)
-        out = llama_mod.llama_forward(
+        out = decoder.forward(
             params["llm_backbone"], cfg.llama, emb,
             kv_cache=cache, cache_len=prefix_len + i, key_mask=key_mask,
         )

@@ -145,7 +145,8 @@ def _layer_fn(lp, h, cache_kv, cfg: PhiConfig, cos, sin, positions, key_mask, ca
 def phi_forward(
     params, cfg: PhiConfig, inputs_embeds, *, positions=None, key_mask=None,
     kv_cache=None, cache_len=0, remat=False, use_flash=None, compute_logits=True,
-):
+    scan_unroll=None,
+):  # scan_unroll accepted for decoder-interface parity (scan-only here)
     B, S, D = inputs_embeds.shape
     h = inputs_embeds.astype(cfg.compute_dtype)
     if positions is None:
@@ -239,3 +240,13 @@ def convert_hf_phi(sd: Dict[str, Any], num_layers: int, prefix: str = "") -> Dic
         },
         "lm_head": {"w": _t(sd[k("lm_head.weight")]).T, "b": _t(sd[k("lm_head.bias")])},
     }
+
+
+# canonical decoder-module interface (see models/llama.py)
+init = phi_init
+forward = phi_forward
+Config = PhiConfig
+
+
+def embed_tokens(params, ids):
+    return jnp.take(params["embed"]["table"], ids, axis=0)

@@ -42,8 +42,20 @@ from mla_tpu.ops import projection as proj_ops
 from mla_tpu.ops import pointops
 
 
+def get_decoder(cfg: "MLAModelConfig"):
+    """Decoder-family module for cfg.llm_family ('llama' covers llama2 /
+    vicuna / mistral via GQA; 'phi' is the parallel-block Phi-2 family —
+    reference models/backbones/llm/{llama2,mistral,phi}.py)."""
+    from mla_tpu.models import phi as phi_mod
+
+    return {"llama": llama_mod, "phi": phi_mod}[cfg.llm_family]
+
+
 @dataclass(frozen=True)
 class MLAModelConfig:
+    # decoder config: a LlamaConfig for llm_family='llama'/'mistral', a
+    # PhiConfig for 'phi' (field name kept for checkpoint/config compat)
+    llm_family: str = "llama"
     llama: llama_mod.LlamaConfig = field(default_factory=lambda: llama_mod.LLAMA2_7B)
     vision: vt_mod.VisionTokenizerConfig = field(default_factory=vt_mod.VisionTokenizerConfig)
     point: pt_mod.PointTokenizerConfig = field(default_factory=pt_mod.PointTokenizerConfig)
@@ -113,7 +125,7 @@ def mla_model_init(key: jax.Array, cfg: MLAModelConfig) -> Tuple[Dict[str, Any],
     ks = jax.random.split(key, 12)
     D = cfg.token_size
     params: Dict[str, Any] = {
-        "llm_backbone": llama_mod.llama_init(ks[0], cfg.llama),
+        "llm_backbone": get_decoder(cfg).init(ks[0], cfg.llama),
         "vision_tower_2d": vt_mod.vision_tokenizer_init(ks[1], cfg.vision),
         "projector_2d": nn.mlp_gelu_init(ks[2], cfg.image_hidden_dim, D, depth=2),
         "proprio_embedder": embedders.action_embedder_init(ks[3], cfg.action_dim, D),
@@ -321,7 +333,8 @@ def vlm_forward(
     fused = fused_out["fused"]
     assert fused.shape[1] == F, f"fused length {fused.shape[1]} != cfg.fused_len {F}"
 
-    text_emb = llama_mod.embed_tokens(params["llm_backbone"], input_ids)
+    decoder = get_decoder(cfg)
+    text_emb = decoder.embed_tokens(params["llm_backbone"], input_ids)
 
     # CFG condition dropout applies to the conditioning (text+fused) segments
     # (reference applies z_embedder to the spliced z, :956-957)
@@ -371,7 +384,7 @@ def vlm_forward(
         )
         seq_labels = _gather_seq(lab_src, idx_map)
 
-    llm_out = llama_mod.llama_forward(
+    llm_out = decoder.forward(
         params["llm_backbone"], cfg.llama, seq_emb,
         key_mask=seq_mask, remat=remat, use_flash=use_flash,
         compute_logits=(seq_labels is not None) or not use_diff,

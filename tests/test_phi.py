@@ -63,3 +63,27 @@ def test_matches_hf_phi(small):
     emb = jnp.take(params["embed"]["table"], jnp.asarray(ids), axis=0)
     got = np.asarray(phi.phi_forward(params, cfg, emb)["logits"])
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+
+
+def test_phi_composed_model_forward():
+    """Full composed MLA model with the phi decoder family."""
+    import dataclasses
+
+    from mla_tpu.models import prismatic
+    from mla_tpu.vla.dummy import synthetic_batch
+    from tiny import tiny_config
+
+    base = tiny_config(use_contrastive=False)
+    phi_cfg = phi.PhiConfig(
+        vocab_size=32064, hidden_size=64, intermediate_size=128, num_layers=4,
+        num_heads=4, contrastive_layer=2, compute_dtype=jnp.float32,
+        partial_rotary_factor=0.5,
+    )
+    cfg = dataclasses.replace(base, llm_family="phi", llama=phi_cfg)
+    params, state = prismatic.mla_model_init(jax.random.PRNGKey(0), cfg)
+    batch = jax.tree_util.tree_map(jnp.asarray, synthetic_batch(cfg, B=1, L=16))
+    batch["x"] = jnp.zeros((1, cfg.action_horizon, cfg.action_dim))
+    batch["t"] = jnp.array([5])
+    out, _ = prismatic.vlm_forward(params, state, cfg, batch, training=False, use_diff=True)
+    assert out["noise_pred"].shape == (1, 16, 7)
+    assert np.isfinite(np.asarray(out["noise_pred"], np.float32)).all()
