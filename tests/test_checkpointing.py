@@ -84,3 +84,44 @@ def test_run_metadata(tmp_path):
     blob = json.loads((tmp_path / "config.json").read_text())
     assert blob["train"]["vla_id"] == "mla-tiny-debug"
     assert json.loads((tmp_path / "dataset_statistics.json").read_text())["rlbench"]
+
+
+def test_save_then_load_vla_roundtrip(tmp_path):
+    """Full integration: train-state checkpoint -> load_vla -> policy
+    prediction (the reference's load_vla(...).predict_action_diff contract)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from mla_tpu.models.load import load_vla
+
+    cfg = tiny_config()
+    params, mstate = tiny_model(cfg)
+    tx, _, _ = optim.make_optimizer(params, num_training_steps=10)
+    state = strategy.init_train_state(params, tx, mstate)
+    run_dir = tmp_path / "run"
+    from mla_tpu.conf.vla import get_vla_config
+
+    stats = {"rlbench": {"action": {"q01": [-1.0] * 7, "q99": [1.0] * 7},
+                         "proprio": {"q01": [-1.0] * 7, "q99": [1.0] * 7}}}
+    ckpt.write_run_metadata(run_dir, get_vla_config("mla-tiny-debug"), cfg, stats)
+    ckpt.save_checkpoint(run_dir, state, step=1, epoch=0, loss=0.5)
+
+    policy = load_vla(run_dir, model_id="mla-tiny")
+    # loaded params match the saved ones
+    a = np.asarray(jax.tree_util.tree_leaves(params["llm_backbone"])[0])
+    b = np.asarray(jax.tree_util.tree_leaves(policy.params["llm_backbone"])[0])
+    np.testing.assert_array_equal(a, b)
+
+    rng = np.random.default_rng(0)
+    img = np.concatenate([
+        rng.normal(size=(3, cfg.vision.image_size, cfg.vision.image_size)).astype(np.float32),
+        np.ones((1, cfg.vision.image_size, cfg.vision.image_size), np.float32),
+    ])
+    pc = rng.uniform(-0.3, 0.7, size=(cfg.point.input_points, 3)).astype(np.float32)
+    ids = np.array([[1, 500, 600, 700, 29871]], dtype=np.int32)
+    policy.sched_ddim = policy.sched_ddim  # default ddim8
+    act = policy.predict_action_diff(img, pc, "x", input_ids=ids, unnorm_key="rlbench")
+    assert act.shape == (cfg.action_horizon, cfg.action_dim)
+    assert np.isfinite(act).all()
