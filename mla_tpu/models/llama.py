@@ -129,9 +129,19 @@ def _layer_fn(
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     x = nn.rms_norm(lp["input_ln"], h, cfg.rms_eps)
-    q = nn.linear(lp["attn"]["q"], x).reshape(B, S, H, hd).transpose(0, 2, 1, 3)
-    k = nn.linear(lp["attn"]["k"], x).reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
-    v = nn.linear(lp["attn"]["v"], x).reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
+    kvd = Hkv * hd
+    if "qkv_fused" in lp["attn"]:
+        # serving-time fusion (fuse_for_serving): one matmul + one
+        # activation quantization for q,k,v
+        qkv = nn.linear(lp["attn"]["qkv_fused"], x)
+        q, k, v = qkv[..., :D], qkv[..., D : D + kvd], qkv[..., D + kvd :]
+    else:
+        q = nn.linear(lp["attn"]["q"], x)
+        k = nn.linear(lp["attn"]["k"], x)
+        v = nn.linear(lp["attn"]["v"], x)
+    q = q.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
     q, k = rope_ops.apply_rope(q, k, cos_table, sin_table, positions)
 
     is_static_prefill = cache_kv is not None and isinstance(cache_len, int) and cache_len == 0
@@ -170,7 +180,12 @@ def _layer_fn(
     h = h + nn.linear(lp["attn"]["o"], out)
 
     x = nn.rms_norm(lp["post_ln"], h, cfg.rms_eps)
-    gated = nn.silu(nn.linear(lp["mlp"]["gate"], x)) * nn.linear(lp["mlp"]["up"], x)
+    if "gateup_fused" in lp["mlp"]:
+        gu = nn.linear(lp["mlp"]["gateup_fused"], x)
+        I = gu.shape[-1] // 2
+        gated = nn.silu(gu[..., :I]) * gu[..., I:]
+    else:
+        gated = nn.silu(nn.linear(lp["mlp"]["gate"], x)) * nn.linear(lp["mlp"]["up"], x)
     h = h + nn.linear(lp["mlp"]["down"], gated)
     return h, new_cache
 
@@ -338,3 +353,33 @@ def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: int =
 init = llama_init
 forward = llama_forward
 Config = LlamaConfig
+
+
+def fuse_for_serving(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Serving-time weight fusion: concatenate q|k|v and gate|up on the
+    output dim so each decode layer runs 2 fewer matmul dispatches and one
+    activation quantization per group (w8a8). Works on fp ({'w'}) and int8
+    ({'w_q','w_scale'}) leaves — per-output-channel scales concatenate.
+    Training params are never fused (optimizer state layout)."""
+
+    def cat(leaves, axis=-1):
+        if "w" in leaves[0]:
+            return {"w": jnp.concatenate([l["w"] for l in leaves], axis=axis)}
+        return {
+            "w_q": jnp.concatenate([l["w_q"] for l in leaves], axis=axis),
+            "w_scale": jnp.concatenate([l["w_scale"] for l in leaves], axis=axis),
+        }
+
+    lp = params["layers"]
+    attn = dict(lp["attn"])
+    attn["qkv_fused"] = cat([lp["attn"]["q"], lp["attn"]["k"], lp["attn"]["v"]])
+    for k in ("q", "k", "v"):
+        attn.pop(k)
+    mlp = dict(lp["mlp"])
+    mlp["gateup_fused"] = cat([lp["mlp"]["gate"], lp["mlp"]["up"]])
+    for k in ("gate", "up"):
+        mlp.pop(k)
+    return {
+        **params,
+        "layers": {**lp, "attn": attn, "mlp": mlp},
+    }

@@ -409,7 +409,11 @@ class MLAPolicy:
         norm_stats: Optional[Dict[str, Any]] = None,
         num_ddim_steps: int = 8,
         cache_margin: int = 32,
+        fuse_weights: bool = True,
     ) -> None:
+        if fuse_weights and cfg.llm_family == "llama":
+            # serving-time qkv/gate-up fusion (fewer dispatches per layer)
+            params = {**params, "llm_backbone": llama_mod.fuse_for_serving(params["llm_backbone"])}
         self.params, self.state, self.cfg = params, state, cfg
         self.tokenizer = tokenizer
         self.norm_stats = norm_stats or {}
