@@ -534,6 +534,39 @@ class MLAPolicy:
         normalized = np.asarray(samples[0])  # [horizon, action_dim]
         return unnormalize_actions(normalized, self.get_action_stats(unnorm_key))
 
+    def predict_action_diff_batched(
+        self,
+        images,        # [B, 4, H, W]
+        pointclouds,   # [B, P, 3]
+        instruction: str,
+        unnorm_key: Optional[str] = None,
+        seed: int = 0,
+        input_ids: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Batched diffusion serving (throughput mode): one prefill + denoise
+        for B observations sharing a prompt — weight reads amortize across
+        the batch. Returns [B, horizon, action_dim]."""
+        cfg = self.cfg
+        if input_ids is None:
+            input_ids = build_prompt_ids(self.tokenizer, instruction, mode="diff")
+        B = images.shape[0]
+        ids = np.repeat(np.asarray(input_ids), B, axis=0)
+        prefix_ids = jnp.asarray(ids[:, :-1])
+        tail_ids = jnp.asarray(ids[:, -1:])
+        proprio = jnp.zeros((B, 1, cfg.action_dim), jnp.float32)
+        noise_key, sample_key = jax.random.split(jax.random.PRNGKey(seed))
+        noise = jax.random.normal(noise_key, (B, cfg.action_horizon, cfg.action_dim), jnp.float32)
+        fn = self._diff_fn(int(prefix_ids.shape[1]), 1, use_ddpm=False)
+        samples = fn(
+            self.params, self.state, prefix_ids, tail_ids,
+            {"front_image": jnp.asarray(images)}, jnp.asarray(pointclouds),
+            proprio, noise, sample_key,
+        )
+        out = np.asarray(samples)
+        return np.stack([
+            unnormalize_actions(out[b], self.get_action_stats(unnorm_key)) for b in range(B)
+        ])
+
     def predict_action_ar(
         self,
         image,

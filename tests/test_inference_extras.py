@@ -141,3 +141,16 @@ def test_build_prompt_ids_surgery():
     # append [29871, 32001, 32002, 29871] then strip 3 -> ends with one 29871
     assert ids_diff[-1] == 29871 and 32001 not in ids_diff.tolist()
     assert len(ids_diff) == len(ids_ar)
+
+
+def test_predict_action_diff_batched(policy):
+    img, pc = _obs(policy.cfg)
+    imgs = np.repeat(img[None], 4, axis=0)
+    pcs = np.repeat(pc[None], 4, axis=0)
+    ids = np.array([[1, 500, 600, 700, 29871]], dtype=np.int32)
+    acts = policy.predict_action_diff_batched(imgs, pcs, "x", input_ids=ids)
+    assert acts.shape == (4, policy.cfg.action_horizon, policy.cfg.action_dim)
+    assert np.isfinite(acts).all()
+    # identical observations + shared noise seed path -> per-sample noise
+    # differs only through the rng split; rows are valid action chunks
+    assert set(np.unique(acts[:, :, 6])) <= {0.0, 1.0}
