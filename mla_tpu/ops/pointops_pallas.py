@@ -52,7 +52,7 @@ def _fps_kernel(start_ref, xyz_ref, out_ref, *, npoint: int, n: int):
     dist0 = jnp.full((n,), 1e10, jnp.float32)
     idxs0 = jnp.zeros((npoint,), jnp.int32)
     _, _, idxs = jax.lax.fori_loop(0, npoint, body, (dist0, start, idxs0))
-    out_ref[0, :] = idxs
+    out_ref[0, 0, :] = idxs
 
 
 def fps_pallas(
@@ -71,15 +71,19 @@ def fps_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    # output is [B, 1, npoint] with (1, 1, npoint) blocks: the sublane dim
+    # must equal the array dim (TPU tiling), which a flat [B, npoint] with
+    # (1, npoint) blocks violates for B > 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[pl.BlockSpec((1, 3, N), lambda b, *_: (b, 0, 0))],
-        out_specs=pl.BlockSpec((1, npoint), lambda b, *_: (b, 0)),
+        out_specs=pl.BlockSpec((1, 1, npoint), lambda b, *_: (b, 0, 0)),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_fps_kernel, npoint=npoint, n=N),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, npoint), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, 1, npoint), jnp.int32),
         interpret=interpret,
     )(start.astype(jnp.int32), xyz_t)
+    return out[:, 0, :]

@@ -166,6 +166,7 @@ def test_decoder_layer_parity():
     from mla_tpu.models.generation import decoder_layer
 
     D, H = 32, 4
+    torch.manual_seed(0)  # pin global-RNG-dependent init
     ref = torch.nn.TransformerDecoderLayer(
         d_model=D, nhead=H, dim_feedforward=64, dropout=0.1,
         activation="gelu", batch_first=True,
@@ -218,6 +219,7 @@ def test_convert_llama_roundtrip_with_padding():
         num_attention_heads=4, num_key_value_heads=4, max_position_embeddings=64,
         tie_word_embeddings=False,
     )
+    torch.manual_seed(0)  # HF init reads the global RNG; pin for order-independence
     model = hf.LlamaForCausalLM(config)
     model.eval()
     sd = {f"llm.{k}": v for k, v in model.state_dict().items()}

@@ -138,6 +138,7 @@ def test_matches_hf_llama(small):
         attention_bias=False,
         tie_word_embeddings=False,
     )
+    torch.manual_seed(0)  # pin global-RNG-dependent init
     model = hf.LlamaForCausalLM(config)
     model.eval()
 

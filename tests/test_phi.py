@@ -52,6 +52,7 @@ def test_matches_hf_phi(small):
         layer_norm_eps=cfg.ln_eps,
         tie_word_embeddings=False,
     )
+    torch.manual_seed(0)  # pin global-RNG-dependent init
     model = hf.PhiForCausalLM(config)
     model.eval()
     params = phi.convert_hf_phi(model.state_dict(), cfg.num_layers)
