@@ -55,11 +55,53 @@ OXE_DATASET_CONFIGS: Dict[str, Dict[str, Any]] = {
     },
 }
 
+def _simple_cfg(primary="image", proprio="state"):
+    return {
+        "image_obs_keys": {"primary": primary},
+        "depth_obs_keys": {},
+        "pointcloud_obs_keys": {},
+        "tactile_obs_keys": {},
+        "proprio_obs_key": proprio,
+        "language_key": "language_instruction",
+        "action_proprio_normalization_type": T.NormalizationType.BOUNDS_Q99,
+    }
+
+
+# common OXE datasets (key maps per oxe/configs.py)
+OXE_DATASET_CONFIGS.update(
+    {
+        "bridge_orig": _simple_cfg("image_0", "state"),
+        "fractal20220817_data": _simple_cfg("image", "base_pose_tool_reached"),
+        "taco_play": _simple_cfg("rgb_static", "robot_obs"),
+        "jaco_play": _simple_cfg("image", "state"),
+        "kuka": _simple_cfg("image", "state"),
+        "berkeley_autolab_ur5": _simple_cfg("image", "state"),
+        "viola": _simple_cfg("agentview_rgb", "joint_states"),
+        "toto": _simple_cfg("image", "state"),
+        "stanford_hydra_dataset": _simple_cfg("image", "state"),
+        "austin_buds_dataset": _simple_cfg("image", "state"),
+        "droid": _simple_cfg("exterior_image_1_left", "proprio"),
+    }
+)
+
 # --- data mixtures (oxe/mixtures.py:11-14) ----------------------------------
 OXE_NAMED_MIXTURES: Dict[str, List[Tuple[str, float]]] = {
     "rlbench": [("rlbench", 1.0)],
     "franka": [("franka", 1.0)],
     "bridge": [("bridge_orig", 1.0)],
+    # OXE magic-soup-style multi-robot mixture (subset of the reference's)
+    "oxe_magic_soup": [
+        ("fractal20220817_data", 0.54),
+        ("kuka", 0.83),
+        ("bridge_orig", 1.0),
+        ("taco_play", 2.0),
+        ("jaco_play", 1.0),
+        ("berkeley_autolab_ur5", 2.0),
+        ("viola", 2.0),
+        ("toto", 1.0),
+        ("stanford_hydra_dataset", 4.0),
+        ("austin_buds_dataset", 1.0),
+    ],
 }
 
 
@@ -97,6 +139,10 @@ def make_dataset_from_rlds(
         if jax.process_count() > 1:
             ds = ds.shard(jax.process_count(), jax.process_index())
 
+    from mla_tpu.vla.rlds.oxe_transforms import get_standardization_transform
+
+    standardize = get_standardization_transform(name)
+
     def restructure(episode):
         steps = episode["steps"]
 
@@ -120,7 +166,7 @@ def make_dataset_from_rlds(
             }
 
         batched = tf.data.experimental.get_single_element(steps.batch(int(1e9)))
-        return to_traj(batched)
+        return to_traj(standardize(dict(batched)))
 
     ds = ds.map(restructure, num_parallel_calls=tf.data.AUTOTUNE)
 

@@ -97,3 +97,43 @@ def test_interleave_weights():
     names = [t["dataset_name"].decode() for t in mixed.take(100).as_numpy_iterator()]
     frac_a = names.count("a") / len(names)
     assert 0.6 < frac_a < 0.95
+
+
+def test_oxe_standardization_transforms():
+    from mla_tpu.vla.rlds.oxe_transforms import (
+        bridge_transform,
+        get_standardization_transform,
+        rt1_transform,
+        taco_play_transform,
+    )
+
+    act = tf.constant(
+        np.concatenate([np.zeros((5, 6), np.float32),
+                        np.array([[1.0], [0.98], [0.5], [0.02], [0.01]], np.float32)], axis=1)
+    )
+    out = bridge_transform({"action": act})["action"].numpy()
+    np.testing.assert_allclose(out[:, 6], [1, 1, 0, 0, 0])
+
+    rel = tf.constant(
+        np.concatenate([np.zeros((5, 6), np.float32),
+                        np.array([[0.0], [1.0], [0.0], [-1.0], [0.0]], np.float32)], axis=1)
+    )
+    out = rt1_transform({"action": rel})["action"].numpy()
+    np.testing.assert_allclose(out[:, 6], [1, 0, 0, 1, 1])
+
+    pm = tf.constant(
+        np.concatenate([np.zeros((2, 6), np.float32), np.array([[-1.0], [1.0]], np.float32)], axis=1)
+    )
+    out = taco_play_transform({"action": pm})["action"].numpy()
+    np.testing.assert_allclose(out[:, 6], [0, 1])
+
+    assert get_standardization_transform("unknown_dataset")({"action": act})["action"] is act
+
+
+def test_oxe_configs_registered():
+    from mla_tpu.vla.rlds.dataset import OXE_DATASET_CONFIGS, OXE_NAMED_MIXTURES
+
+    assert "bridge_orig" in OXE_DATASET_CONFIGS
+    assert "oxe_magic_soup" in OXE_NAMED_MIXTURES
+    for name, _w in OXE_NAMED_MIXTURES["oxe_magic_soup"]:
+        assert name in OXE_DATASET_CONFIGS, name
