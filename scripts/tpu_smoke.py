@@ -55,14 +55,32 @@ def main():
     batch = synthetic_batch(cfg, B=args.batch, L=32)
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
 
+    times = []
     for i in range(args.steps):
         t0 = time.time()
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
-        loss = float(metrics["total_loss"])
+        loss = float(metrics["total_loss"])  # blocks
+        dt = time.time() - t0
+        times.append(dt)
         print(f"step {i}: loss={loss:.4f} grad_norm={float(metrics['grad_norm']):.4f} "
-              f"({time.time() - t0:.1f}s)")
+              f"({dt:.2f}s)")
         assert loss == loss, "NaN loss"
     print("TRAIN STEP OK")
+
+    if len(times) > 1:
+        import json
+
+        warm = times[1:]
+        # tokens processed per optimizer step: B x seq (text+fused+diff) x
+        # repeated_diffusion_steps
+        seq = 32 + cfg.fused_len + cfg.diff_block_len
+        toks = args.batch * seq * tcfg.repeated_diffusion_steps
+        p50 = sorted(warm)[len(warm) // 2]
+        print(json.dumps({
+            "train_step_p50_s": round(p50, 4),
+            "train_tokens_per_sec": round(toks / p50, 1),
+            "model": args.model, "batch": args.batch, "seq": seq,
+        }))
 
 
 if __name__ == "__main__":

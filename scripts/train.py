@@ -133,6 +133,16 @@ def main(argv=None):
         )
         cfg = dataclasses.replace(cfg, gen=gen)
 
+    # training keeps fp32 MASTER weights (the reference's FSDP MixedPrecision
+    # casts bf16 for compute but AdamW steps fp32 originals, fsdp.py:184-199);
+    # compute stays bf16 via compute_dtype
+    import jax.numpy as jnp
+
+    if tc.enable_mixed_precision_training and cfg.llama.param_dtype != jnp.float32:
+        cfg = dataclasses.replace(
+            cfg, llama=dataclasses.replace(cfg.llama, param_dtype=jnp.float32)
+        )
+
     if tc.pretrained_checkpoint:
         params, mstate, cfg, _stats = load_mod.load_vla(
             tc.pretrained_checkpoint, model_id=model_id, load_for_training=True
