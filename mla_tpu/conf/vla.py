@@ -60,6 +60,7 @@ class VLATrainConfig:
     action_dim: int = 7
     class_dropout_prob: float = 0.0
     use_ema: bool = False
+    num_extra_views: int = 0  # wrist cameras (franka mixes use 1)
 
     # run management
     run_root_dir: str = "runs"

@@ -9,6 +9,7 @@ python scripts/train.py \
   --data_mix franka --camera_name franka_front \
   --freeze_vision_tower true \
   --use_diff true --use_pointcloud true --use_contrastive true --use_tactile true \
+  --num_extra_views 1 \
   --use_generation true --gen_image true --use_roi true --gen_pointcloud true --gen_tactile true \
   --learning_rate 2e-5 --global_batch_size 64 --per_device_batch_size 8 \
   "$@"

@@ -124,6 +124,7 @@ def main(argv=None):
         action_dim=tc.action_dim,
         future_action_window_size=tc.future_action_window_size,
         class_dropout_prob=tc.class_dropout_prob,
+        num_extra_views=tc.num_extra_views,
     )
     if tc.use_generation:
         # stage flags gen_image/gen_pointcloud/gen_tactile map onto gen cfg

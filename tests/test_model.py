@@ -211,3 +211,19 @@ def test_policy_predict_roundtrip(diff_model):
     act_ar = policy.predict_action_ar(img, pc, "close the box", input_ids=ids_ar)
     assert act_ar.shape == (cfg.action_dim,)
     assert np.isfinite(act_ar).all()
+
+
+def test_multiview_fused_tokens():
+    """Extra wrist view adds one image-token block to the fused sequence
+    (reference get_fused_tokens other_views loop, prismatic.py:657-661)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_config(use_contrastive=False), num_extra_views=1)
+    params, state = tiny_model(cfg)
+    batch = tiny_batch(cfg, B=1)
+    batch["images"]["wrist_right_image"] = batch["images"]["front_image"]
+    batch["x"] = jnp.zeros((1, cfg.action_horizon, cfg.action_dim))
+    batch["t"] = jnp.array([3])
+    assert cfg.fused_len == 16 + 16 + 16 + 1
+    out, _ = prismatic.vlm_forward(params, state, cfg, batch, training=False, use_diff=True)
+    assert out["noise_pred"].shape == (1, cfg.action_horizon, cfg.action_dim)
