@@ -688,10 +688,10 @@ class MLAPolicy:
         prefix = build_prefix_embeds(
             self.params, self.state, self.cfg, jnp.asarray(ids), images_b, pc_b
         )
-        cache_max = prefix.shape[1] + self.cache_margin
-        kv, _ = prefill(self.params, self.cfg, prefix, cache_max, compute_logits=False)
-        # cognition feature: last hidden at the final position
-        out = llama_mod.llama_forward(
+        # cognition feature: last hidden at the final position (no KV cache
+        # needed — the external DiT conditions on a single token)
+        decoder = prismatic.get_decoder(self.cfg)
+        out = decoder.forward(
             self.params["llm_backbone"], self.cfg.llama, prefix, compute_logits=False
         )
         z = out["last_hidden"][:, -1:, :].astype(jnp.float32)  # [B,1,token]
