@@ -1,0 +1,104 @@
+"""Coverage for config registries, loader edge cases, and registry metadata."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tiny import tiny_config
+
+
+def test_vla_config_registry_and_overrides():
+    from mla_tpu.conf.vla import VLA_REGISTRY, get_vla_config
+
+    assert "prism-dinosiglip-224px+oxe+diffusion" in VLA_REGISTRY
+    tc = get_vla_config("prism-dinosiglip-224px+oxe+diffusion", learning_rate=1e-4, use_tactile=True)
+    assert tc.learning_rate == 1e-4 and tc.use_tactile
+    # reference Exp_MLA_Finetune hyperparameters preserved
+    base = VLA_REGISTRY["prism-dinosiglip-224px+oxe+diffusion"]
+    assert base.learning_rate == 2e-5 and base.data_mix == "rlbench"
+    assert base.global_batch_size == 256 and base.per_device_batch_size == 16
+    with pytest.raises(ValueError):
+        get_vla_config("prism-dinosiglip-224px+oxe+diffusion", not_a_field=1)
+    with pytest.raises(ValueError):
+        get_vla_config("nope")
+
+
+def test_stage_inference_from_flags():
+    from mla_tpu.conf.vla import get_vla_config
+
+    assert get_vla_config("prism-dinosiglip-224px+oxe+diffusion").stage == "pretrain"
+    assert get_vla_config("prism-dinosiglip-224px+oxe+diffusion", freeze_vision_tower=True).stage == "finetune"
+    assert get_vla_config("prism-dinosiglip-224px+oxe+diffusion", use_generation=True).stage == "post-training"
+
+
+def test_model_registry():
+    from mla_tpu.conf.models import MODEL_REGISTRY, get_model_config
+
+    for mid in ("mla-7b", "mla-2b", "mla-small", "mla-tiny"):
+        assert mid in MODEL_REGISTRY
+    cfg = get_model_config("mla-7b")
+    assert cfg.llama.num_layers == 32 and cfg.llama.hidden_size == 4096
+    assert cfg.fused_len == 256 + 256 + 1
+    # the reference's base_vlm id aliases to the flagship
+    assert get_model_config("prism-dinosiglip-224px+7b").llama.hidden_size == 4096
+    with pytest.raises(ValueError):
+        get_model_config("unknown-model")
+
+
+def test_zoo_metadata_registry():
+    from mla_tpu.models.registry import (
+        GLOBAL_REGISTRY,
+        LLM_BACKBONE_REGISTRY,
+        get_model_description,
+    )
+
+    d = get_model_description("prism-dinosiglip-224px+7b")
+    assert d["vision_backbone_id"] == "dinosiglip-vit-so-224px"
+    assert d["llm_backbone_id"] == "llama2-7b-pure"
+    assert "Prism-DINOSigLIP 224px 7B" in GLOBAL_REGISTRY
+    assert LLM_BACKBONE_REGISTRY["mistral-v0.1-7b-pure"]["cfg"]["num_kv_heads"] == 8
+    with pytest.raises(ValueError):
+        get_model_description("nope")
+
+
+def test_resolve_checkpoint_edges(tmp_path):
+    from mla_tpu.models.load import _resolve_checkpoint
+
+    # bare .pt file
+    pt = tmp_path / "ck.pt"
+    pt.write_bytes(b"x")
+    assert _resolve_checkpoint(pt) == pt
+    # empty run dir -> None
+    (tmp_path / "empty" / "checkpoints").mkdir(parents=True)
+    assert _resolve_checkpoint(tmp_path / "empty") is None
+    # reference-style dir with .pt files picks the last
+    ckdir = tmp_path / "ref" / "checkpoints"
+    ckdir.mkdir(parents=True)
+    (ckdir / "step-000100.pt").write_bytes(b"a")
+    (ckdir / "step-000200.pt").write_bytes(b"b")
+    assert _resolve_checkpoint(tmp_path / "ref").name == "step-000200.pt"
+
+
+def test_load_vla_random_init_without_checkpoint(tmp_path):
+    """Pointing load_vla at a dir without checkpoints gives a working
+    random-init policy (warn path)."""
+    from mla_tpu.models.load import load_vla
+
+    (tmp_path / "dataset_statistics.json").write_text(
+        json.dumps({"d": {"action": {"q01": [-1] * 7, "q99": [1] * 7},
+                          "proprio": {"q01": [-1] * 7, "q99": [1] * 7}}})
+    )
+    policy = load_vla(tmp_path, model_id="mla-tiny")
+    assert policy.cfg.action_dim == 7
+    assert policy.norm_stats["d"]["action"]["q99"] == [1] * 7
+
+
+def test_simple_tokenizer_determinism():
+    from mla_tpu.vla.tokenizer import SimpleTokenizer
+
+    tok = SimpleTokenizer()
+    a = tok("close the box")["input_ids"]
+    b = tok("close the box")["input_ids"]
+    assert a == b and a[0] == 1
+    assert tok("<BOD><EOD>")["input_ids"][1:] == [32001, 32002]
