@@ -321,6 +321,23 @@ def vlm_forward(
 
     input_ids = batch["input_ids"]
     B, L = input_ids.shape
+
+    # language-only batches (the reference's empty multimodal_indices branch,
+    # prismatic.py:911-924, fed by SplitModalitySampler's unimodal batches):
+    # plain LM forward, no fused block / splice
+    if batch.get("images") is None or not batch.get("images"):
+        decoder = get_decoder(cfg)
+        text_emb = decoder.embed_tokens(params["llm_backbone"], input_ids)
+        llm_out = decoder.forward(
+            params["llm_backbone"], cfg.llama, text_emb,
+            key_mask=batch["attention_mask"].astype(bool),
+            remat=remat, use_flash=use_flash, compute_logits=True,
+        )
+        outputs = {"last_hidden": llm_out["last_hidden"], "logits": llm_out["logits"]}
+        if batch.get("labels") is not None:
+            outputs["lm_loss"] = llama_mod.causal_lm_loss(llm_out["logits"], batch["labels"])
+        return outputs, state
+
     F = cfg.fused_len
     D = cfg.token_size
 

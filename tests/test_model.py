@@ -227,3 +227,16 @@ def test_multiview_fused_tokens():
     assert cfg.fused_len == 16 + 16 + 16 + 1
     out, _ = prismatic.vlm_forward(params, state, cfg, batch, training=False, use_diff=True)
     assert out["noise_pred"].shape == (1, cfg.action_horizon, cfg.action_dim)
+
+
+def test_language_only_batch():
+    """Unimodal (text-only) batches run a plain LM forward — the reference's
+    empty-multimodal_indices branch fed by SplitModalitySampler."""
+    cfg = tiny_config(use_diff=False, use_contrastive=False)
+    params, state = tiny_model(cfg)
+    batch = tiny_batch(cfg, B=2)
+    batch = {k: v for k, v in batch.items() if k not in ("images", "point_cloud")}
+    batch["images"] = None
+    out, _ = prismatic.vlm_forward(params, state, cfg, batch, training=True, use_diff=False)
+    assert out["logits"].shape[1] == batch["input_ids"].shape[1]  # no fused block
+    assert np.isfinite(float(out["lm_loss"]))
