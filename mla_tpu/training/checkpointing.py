@@ -71,6 +71,25 @@ def write_run_metadata(run_dir, train_cfg: Any, model_cfg: Any,
             json.dump(_config_to_jsonable(dataset_statistics), f, indent=2)
 
 
+_ASYNC_CKPTR = None
+
+
+def _get_async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_async_saves() -> None:
+    """Block until in-flight async checkpoint writes complete (call before
+    process exit / before reading the checkpoint back)."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(
     run_dir,
     train_state: Dict[str, Any],
@@ -81,8 +100,12 @@ def save_checkpoint(
     keep: int = 3,
     also_reference_format: bool = False,
     model_cfg: Any = None,
+    async_save: bool = False,
 ) -> Path:
-    """Orbax save of the full train state. Multi-host safe (all hosts call)."""
+    """Orbax save of the full train state. Multi-host safe (all hosts call).
+
+    async_save=True overlaps the write with training (orbax
+    AsyncCheckpointer); call wait_for_async_saves() before exit."""
     import orbax.checkpoint as ocp
 
     run_dir = Path(run_dir)
@@ -91,8 +114,12 @@ def save_checkpoint(
     name = _ckpt_name(step, epoch, loss)
     path = (ckpt_dir / name).absolute()
 
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, train_state, force=True)
+    if async_save:
+        ckptr = _get_async_checkpointer()
+        ckptr.save(path, args=ocp.args.StandardSave(train_state), force=True)
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, train_state, force=True)
 
     if overwatch.is_rank_zero():
         with open(ckpt_dir / "latest", "w") as f:

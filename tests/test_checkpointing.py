@@ -125,3 +125,16 @@ def test_save_then_load_vla_roundtrip(tmp_path):
     act = policy.predict_action_diff(img, pc, "x", input_ids=ids, unnorm_key="rlbench")
     assert act.shape == (cfg.action_horizon, cfg.action_dim)
     assert np.isfinite(act).all()
+
+
+def test_async_save_roundtrip(tmp_path):
+    cfg = tiny_config()
+    params, mstate = tiny_model(cfg)
+    tx, _, _ = optim.make_optimizer(params, num_training_steps=10)
+    state = strategy.init_train_state(params, tx, mstate)
+    path = ckpt.save_checkpoint(tmp_path, state, step=3, epoch=0, loss=0.2, async_save=True)
+    ckpt.wait_for_async_saves()
+    restored = ckpt.load_checkpoint(path, state)
+    a = np.asarray(jax.tree_util.tree_leaves(state["params"])[0])
+    b = np.asarray(jax.tree_util.tree_leaves(restored["params"])[0])
+    np.testing.assert_array_equal(a, b)
