@@ -189,3 +189,35 @@ def test_train_cli_smoke(tmp_path):
     assert ckpts, "checkpoint should be saved at step cadence"
     jsonl = list(runs[0].glob("*.jsonl"))
     assert jsonl
+
+
+def test_train_cli_resume(tmp_path):
+    """Kill-and-resume contract: a second invocation with --is_resume picks up
+    from the latest checkpoint's step counter and trains on to max_steps
+    (reference scripts/train.py:214-222 resume branch)."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import importlib
+
+    train_mod = importlib.import_module("train")
+    common = [
+        "--vla.type", "mla-tiny-debug",
+        "--run_id", "resume-e2e",
+        "--save_interval", "2",
+        "--per_device_batch_size", "1",
+        "--global_batch_size", "8",
+        "--run_root_dir", str(tmp_path),
+        "--use_contrastive", "false",
+    ]
+    train_mod.main(common + ["--max_steps", "2"])
+    run_dir = tmp_path / "resume-e2e"
+    first = {d.name for d in (run_dir / "checkpoints").glob("step-*") if d.is_dir()}
+    assert any(n.startswith("step-000002") for n in first)
+
+    train_mod.main(common + ["--max_steps", "4", "--is_resume", "true"])
+    after = {d.name for d in (run_dir / "checkpoints").glob("step-*") if d.is_dir()}
+    assert any(n.startswith("step-000004") for n in after), after
+    # the resumed run continued from step 2, not from scratch: the step-2
+    # checkpoint from the first run is untouched (same name, no duplicate)
+    assert first <= after
