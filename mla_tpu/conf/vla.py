@@ -71,6 +71,7 @@ class VLATrainConfig:
     resume_step: Optional[int] = None
     resume_epoch: Optional[int] = None
     is_resume: bool = False
+    async_checkpoints: bool = False  # overlap orbax writes with training
     trackers: str = "jsonl"  # comma-separated: jsonl,wandb
 
     @property

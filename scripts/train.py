@@ -242,8 +242,10 @@ def main(argv=None):
         if (step + 1) % tc.save_interval == 0 or step == num_steps - 1:
             loss = float(step_metrics["total_loss"])
             ckpt_mod.save_checkpoint(
-                run_dir, state, step=step + 1, epoch=0, loss=loss, model_cfg=cfg
+                run_dir, state, step=step + 1, epoch=0, loss=loss, model_cfg=cfg,
+                async_save=tc.async_checkpoints,
             )
+    ckpt_mod.wait_for_async_saves()
     metrics.finalize()
     overwatch.info("done")
 

@@ -180,6 +180,7 @@ def test_train_cli_smoke(tmp_path):
         "--global_batch_size", "8",
         "--run_root_dir", str(tmp_path),
         "--use_contrastive", "false",
+        "--async_checkpoints", "true",
     ])
     runs = list(tmp_path.iterdir())
     assert len(runs) == 1
