@@ -1,3 +1,4 @@
+from mla_tpu.conf.datasets import DATASET_REGISTRY, DatasetConfig, get_dataset_config
 from mla_tpu.conf.models import MODEL_REGISTRY, get_model_config
 from mla_tpu.conf.vla import VLA_REGISTRY, VLATrainConfig, get_vla_config
 
@@ -7,4 +8,7 @@ __all__ = [
     "VLA_REGISTRY",
     "VLATrainConfig",
     "get_vla_config",
+    "DATASET_REGISTRY",
+    "DatasetConfig",
+    "get_dataset_config",
 ]

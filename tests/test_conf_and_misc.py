@@ -46,6 +46,28 @@ def test_model_registry():
         get_model_config("unknown-model")
 
 
+def test_dataset_registry():
+    from mla_tpu.conf.datasets import DATASET_REGISTRY, get_dataset_config
+
+    # the reference's five LLaVA-era variants, id-for-id (conf/datasets.py:33-124)
+    assert set(DATASET_REGISTRY) == {
+        "llava-v15", "llava-multimodal", "llava-lvis4v", "llava-lrv",
+        "llava-lvis4v-lrv",
+    }
+    c = get_dataset_config("llava-v15")
+    assert c.components_for_stage("align")[0].endswith("chat.json")
+    assert c.components_for_stage("finetune")[0].endswith("mix665k.json")
+    assert get_dataset_config("llava-lvis4v-lrv").finetune_stage_components[0].endswith(
+        "lvis4v_lrv_mix1231k.json"
+    )
+    c2 = get_dataset_config("llava-v15", dataset_root_dir="/data")
+    assert c2.dataset_root_dir == "/data"
+    with pytest.raises(ValueError):
+        get_dataset_config("nope")
+    with pytest.raises(ValueError):
+        c.components_for_stage("nope")
+
+
 def test_zoo_metadata_registry():
     from mla_tpu.models.registry import (
         GLOBAL_REGISTRY,
