@@ -55,9 +55,14 @@ OXE_DATASET_CONFIGS: Dict[str, Dict[str, Any]] = {
     },
 }
 
-def _simple_cfg(primary="image", proprio="state"):
+def _cfg(primary, proprio, secondary=None, wrist=None, next_primary=None):
+    """Key map for one OXE dataset (camera names + proprio source are facts
+    of the published RLDS builders, oxe/configs.py). None proprio -> the
+    restructure step fills zeros."""
+    imgs = {"primary": primary, "secondary": secondary, "wrist": wrist,
+            "next_primary": next_primary}
     return {
-        "image_obs_keys": {"primary": primary},
+        "image_obs_keys": {k: v for k, v in imgs.items() if v is not None},
         "depth_obs_keys": {},
         "pointcloud_obs_keys": {},
         "tactile_obs_keys": {},
@@ -67,41 +72,189 @@ def _simple_cfg(primary="image", proprio="state"):
     }
 
 
-# common OXE datasets (key maps per oxe/configs.py)
+# full Open-X-Embodiment matrix (key maps per oxe/configs.py; each entry is
+# (primary, proprio[, secondary, wrist]) with dataset-builder key names)
 OXE_DATASET_CONFIGS.update(
     {
-        "bridge_orig": _simple_cfg("image_0", "state"),
-        "fractal20220817_data": _simple_cfg("image", "base_pose_tool_reached"),
-        "taco_play": _simple_cfg("rgb_static", "robot_obs"),
-        "jaco_play": _simple_cfg("image", "state"),
-        "kuka": _simple_cfg("image", "state"),
-        "berkeley_autolab_ur5": _simple_cfg("image", "state"),
-        "viola": _simple_cfg("agentview_rgb", "joint_states"),
-        "toto": _simple_cfg("image", "state"),
-        "stanford_hydra_dataset": _simple_cfg("image", "state"),
-        "austin_buds_dataset": _simple_cfg("image", "state"),
-        "droid": _simple_cfg("exterior_image_1_left", "proprio"),
+        # MLA-added suites
+        "metaworld": _cfg("image_third", "proprio", next_primary="next_image_third"),
+        "franka_dual": {
+            "image_obs_keys": {"primary": "image_third", "next_primary": "next_image_third",
+                               "wrist_right": "image_wrist_right", "wrist_left": "image_wrist_left"},
+            "depth_obs_keys": {},
+            "pointcloud_obs_keys": {},
+            "tactile_obs_keys": {},
+            "proprio_obs_key": "proprio",
+            "language_key": "language_instruction",
+            "action_proprio_normalization_type": T.NormalizationType.BOUNDS_Q99,
+        },
+        "rtx_dataset": _cfg("image", "proprio", next_primary="next_image"),
+        # Google robots
+        "fractal20220817_data": _cfg("image", "base_pose_tool_reached"),
+        "kuka": _cfg("image", "clip_function_input/base_pose_tool_reached"),
+        "custom_finetuning": _cfg("image", "base_pose_tool_reached"),
+        # Bridge V2 variants
+        "bridge_oxe": _cfg("image", "EEF_state", secondary="image_1"),
+        "bridge_orig": _cfg("image_0", "EEF_state", secondary="image_1"),
+        "bridge_dataset": _cfg("image_0", "EEF_state", secondary="image_1"),
+        # moderate-scale labs
+        "taco_play": _cfg("rgb_static", "state_eef", wrist="rgb_gripper"),
+        "jaco_play": _cfg("image", "state_eef", wrist="image_wrist"),
+        "berkeley_cable_routing": _cfg("image", "robot_state", secondary="top_image", wrist="wrist45_image"),
+        "roboturk": _cfg("front_rgb", None),
+        "nyu_door_opening_surprising_effectiveness": _cfg(None, None, wrist="image"),
+        "viola": _cfg("agentview_rgb", "joint_states", wrist="eye_in_hand_rgb"),
+        "berkeley_autolab_ur5": _cfg("image", "state", wrist="hand_image"),
+        "toto": _cfg("image", "state"),
+        "language_table": _cfg("rgb", "effector_translation"),
+        "columbia_cairlab_pusht_real": _cfg("image", "robot_state", wrist="wrist_image"),
+        "stanford_kuka_multimodal_dataset_converted_externally_to_rlds": _cfg("image", "ee_position"),
+        "nyu_rot_dataset_converted_externally_to_rlds": _cfg("image", "eef_state"),
+        "stanford_hydra_dataset_converted_externally_to_rlds": _cfg("image", "eef_state", wrist="wrist_image"),
+        "austin_buds_dataset_converted_externally_to_rlds": _cfg("image", "state", wrist="wrist_image"),
+        "nyu_franka_play_dataset_converted_externally_to_rlds": _cfg("image", "eef_state", secondary="image_additional_view"),
+        "maniskill_dataset_converted_externally_to_rlds": _cfg("image", "tcp_pose", wrist="wrist_image"),
+        "furniture_bench_dataset_converted_externally_to_rlds": _cfg("image", "state", wrist="wrist_image"),
+        "cmu_franka_exploration_dataset_converted_externally_to_rlds": _cfg("highres_image", None),
+        "ucsd_kitchen_dataset_converted_externally_to_rlds": _cfg("image", "joint_state"),
+        "ucsd_pick_and_place_dataset_converted_externally_to_rlds": _cfg("image", "eef_state"),
+        "austin_sailor_dataset_converted_externally_to_rlds": _cfg("image", "state", wrist="wrist_image"),
+        "austin_sirius_dataset_converted_externally_to_rlds": _cfg("image", "state", wrist="wrist_image"),
+        "bc_z": _cfg("image", "present/xyz"),
+        "utokyo_pr2_opening_fridge_converted_externally_to_rlds": _cfg("image", "eef_state"),
+        "utokyo_pr2_tabletop_manipulation_converted_externally_to_rlds": _cfg("image", "eef_state"),
+        "utokyo_xarm_pick_and_place_converted_externally_to_rlds": _cfg("image", "end_effector_pose", secondary="image2", wrist="hand_image"),
+        "utokyo_xarm_bimanual_converted_externally_to_rlds": _cfg("image", "pose_r"),
+        "robo_net": _cfg("image", "eef_state", secondary="image1"),
+        "berkeley_mvp_converted_externally_to_rlds": _cfg(None, "pose", wrist="hand_image"),
+        "berkeley_rpt_converted_externally_to_rlds": _cfg(None, "joint_pos", wrist="hand_image"),
+        "kaist_nonprehensile_converted_externally_to_rlds": _cfg("image", "state"),
+        "stanford_mask_vit_converted_externally_to_rlds": _cfg("image", "eef_state"),
+        "tokyo_u_lsmo_converted_externally_to_rlds": _cfg("image", "eef_state"),
+        "dlr_sara_pour_converted_externally_to_rlds": _cfg("image", "state"),
+        "dlr_sara_grid_clamp_converted_externally_to_rlds": _cfg("image", "state"),
+        "dlr_edan_shared_control_converted_externally_to_rlds": _cfg("image", "state"),
+        "asu_table_top_converted_externally_to_rlds": _cfg("image", "eef_state"),
+        "stanford_robocook_converted_externally_to_rlds": _cfg("image_1", "eef_state", secondary="image_2"),
+        "imperialcollege_sawyer_wrist_cam": _cfg("image", "state", wrist="wrist_image"),
+        "iamlab_cmu_pickup_insert_converted_externally_to_rlds": _cfg("image", "joint_state", wrist="wrist_image"),
+        "uiuc_d3field": _cfg("image_1", None, secondary="image_2"),
+        "utaustin_mutex": _cfg("image", "state", wrist="wrist_image"),
+        "berkeley_fanuc_manipulation": _cfg("image", "joint_state", wrist="wrist_image"),
+        "cmu_playing_with_food": _cfg("image", "state", wrist="finger_vision_1"),
+        "cmu_play_fusion": _cfg("image", "state"),
+        "cmu_stretch": _cfg("image", "eef_state"),
+        "berkeley_gnm_recon": _cfg(None, "state", wrist="image"),
+        "berkeley_gnm_cory_hall": _cfg(None, "state", wrist="image"),
+        "berkeley_gnm_sac_son": _cfg(None, "state", wrist="image"),
+        "droid": _cfg("exterior_image_1_left", "proprio", secondary="exterior_image_2_left", wrist="wrist_image_left"),
+        "droid_wipe": _cfg("exterior_image_2_left", "proprio", wrist="wrist_image_left"),
+        "fmb_dataset": _cfg("image_side_1", "proprio", secondary="image_side_2", wrist="image_wrist_1"),
+        "dobbe": _cfg("wrist_image", "proprio"),
+        "roboset": _cfg("image_left", "proprio", secondary="image_right", wrist="image_wrist"),
+        "rh20t": _cfg("image_front", "proprio", secondary="image_side_right", wrist="image_wrist"),
+        "tdroid_carrot_in_bowl": _cfg("static_image", "EEF_state"),
+        "tdroid_pour_corn_in_pot": _cfg("static_image", "EEF_state"),
+        "tdroid_flip_pot_upright": _cfg("static_image", "EEF_state"),
+        "tdroid_move_object_onto_plate": _cfg("static_image", "EEF_state"),
+        "tdroid_knock_object_over": _cfg("static_image", "EEF_state"),
+        "tdroid_cover_object_with_towel": _cfg("static_image", "EEF_state"),
+        # short aliases kept from earlier revisions (same key maps)
+        "stanford_hydra_dataset": _cfg("image", "eef_state", wrist="wrist_image"),
+        "austin_buds_dataset": _cfg("image", "state", wrist="wrist_image"),
+        "nyu_franka_play_dataset": _cfg("image", "eef_state", secondary="image_additional_view"),
+        "ucsd_kitchen_dataset": _cfg("image", "joint_state"),
+        "austin_sailor_dataset": _cfg("image", "state", wrist="wrist_image"),
+        "austin_sirius_dataset": _cfg("image", "state", wrist="wrist_image"),
+        "dlr_edan_shared_control": _cfg("image", "state"),
+        "iamlab_cmu_pickup_insert": _cfg("image", "joint_state", wrist="wrist_image"),
     }
 )
 
-# --- data mixtures (oxe/mixtures.py:11-14) ----------------------------------
+# --- data mixtures (oxe/mixtures.py:11-210, weight-for-weight) ---------------
+_MAGIC_SOUP_CORE: List[Tuple[str, float]] = [
+    ("fractal20220817_data", 0.54087122203),
+    ("kuka", 0.8341046294),
+    ("bridge_orig", 1.0),
+    ("taco_play", 2.0),
+    ("jaco_play", 1.0),
+    ("berkeley_cable_routing", 1.0),
+    ("roboturk", 2.0),
+    ("viola", 2.0),
+    ("berkeley_autolab_ur5", 2.0),
+    ("toto", 1.0),
+    ("stanford_hydra_dataset_converted_externally_to_rlds", 2.0),
+    ("austin_buds_dataset_converted_externally_to_rlds", 1.0),
+    ("nyu_franka_play_dataset_converted_externally_to_rlds", 3.0),
+    ("furniture_bench_dataset_converted_externally_to_rlds", 0.1),
+    ("ucsd_kitchen_dataset_converted_externally_to_rlds", 2.0),
+    ("austin_sailor_dataset_converted_externally_to_rlds", 1.0),
+    ("austin_sirius_dataset_converted_externally_to_rlds", 1.0),
+    ("dlr_edan_shared_control_converted_externally_to_rlds", 1.0),
+    ("iamlab_cmu_pickup_insert_converted_externally_to_rlds", 1.0),
+    ("utaustin_mutex", 1.0),
+    ("berkeley_fanuc_manipulation", 2.0),
+    ("cmu_stretch", 1.0),
+]
+_MAGIC_SOUP_PLUS_EXTRA: List[Tuple[str, float]] = [
+    ("bc_z", 0.2),
+    ("fmb_dataset", 1.0),
+    ("dobbe", 0.2),
+]
+
 OXE_NAMED_MIXTURES: Dict[str, List[Tuple[str, float]]] = {
     "rlbench": [("rlbench", 1.0)],
+    "metaworld": [("metaworld", 1.0)],
     "franka": [("franka", 1.0)],
+    "franka_dual": [("franka_dual", 1.0)],
+    "rtx_dataset": [("rtx_dataset", 1.0)],
     "bridge": [("bridge_orig", 1.0)],
-    # OXE magic-soup-style multi-robot mixture (subset of the reference's)
+    "bridge_rt_1": [("bridge_orig", 1.0), ("fractal20220817_data", 1.0)],
     "oxe_magic_soup": [
-        ("fractal20220817_data", 0.54),
-        ("kuka", 0.83),
+        ("fractal20220817_data", 0.54087122203),
+        ("kuka", 0.8341046294),
         ("bridge_orig", 1.0),
         ("taco_play", 2.0),
-        ("jaco_play", 1.0),
-        ("berkeley_autolab_ur5", 2.0),
+        ("jaco_play", 2.0),
+        ("berkeley_cable_routing", 3.0),
+        ("roboturk", 1.0),
         ("viola", 2.0),
+        ("berkeley_autolab_ur5", 1.0),
         ("toto", 1.0),
-        ("stanford_hydra_dataset", 4.0),
-        ("austin_buds_dataset", 1.0),
+        ("taco_play", 1.0),
+        ("berkeley_cable_routing", 1.0),
+        ("viola", 1.0),
+        ("toto", 1.0),
+        ("stanford_hydra_dataset_converted_externally_to_rlds", 1.0),
+        ("austin_buds_dataset_converted_externally_to_rlds", 3.0),
+        ("nyu_franka_play_dataset_converted_externally_to_rlds", 3.0),
+        ("maniskill_dataset_converted_externally_to_rlds", 0.1),
+        ("furniture_bench_dataset_converted_externally_to_rlds", 0.1),
+        ("cmu_franka_exploration_dataset_converted_externally_to_rlds", 5.0),
+        ("austin_sailor_dataset_converted_externally_to_rlds", 1.0),
+        ("austin_sirius_dataset_converted_externally_to_rlds", 1.0),
+        ("berkeley_rpt_converted_externally_to_rlds", 1.0),
+        ("kaist_nonprehensile_converted_externally_to_rlds", 3.0),
+        ("stanford_robocook_converted_externally_to_rlds", 1.0),
+        ("iamlab_cmu_pickup_insert_converted_externally_to_rlds", 1.0),
+        ("utaustin_mutex", 1.0),
+        ("cmu_play_fusion", 1.0),
     ],
+    "oxe_magic_soup_plus": (
+        _MAGIC_SOUP_CORE + [("language_table", 0.1)] + _MAGIC_SOUP_PLUS_EXTRA
+        + [("droid", 0.06)]
+    ),
+    "oxe_magic_soup_plus_minus": (
+        [("fractal20220817_data", 1.0)] + _MAGIC_SOUP_CORE[1:] + _MAGIC_SOUP_PLUS_EXTRA
+    ),
+    "tdroid_carrot_in_bowl": [("tdroid_carrot_in_bowl", 1.0)],
+    "tdroid_pour_corn_in_pot": [("tdroid_pour_corn_in_pot", 1.0)],
+    "tdroid_flip_pot_upright": [("tdroid_flip_pot_upright", 1.0)],
+    "tdroid_move_object_onto_plate": [("tdroid_move_object_onto_plate", 1.0)],
+    "tdroid_knock_object_over": [("tdroid_knock_object_over", 1.0)],
+    "tdroid_cover_object_with_towel": [("tdroid_cover_object_with_towel", 1.0)],
+    "droid_wipe": [("droid_wipe", 1.0)],
+    "custom_finetuning": [("custom_finetuning", 1.0)],
 }
 
 
@@ -156,7 +309,13 @@ def make_dataset_from_rlds(
             if load_tactile:
                 for new_key, src in cfg["tactile_obs_keys"].items():
                     obs[new_key] = batched["observation"][src]
-            obs["proprio"] = tf.cast(batched["observation"][cfg["proprio_obs_key"]], tf.float32)
+            if cfg["proprio_obs_key"] is not None:
+                obs["proprio"] = tf.cast(batched["observation"][cfg["proprio_obs_key"]], tf.float32)
+            else:
+                # datasets without proprio (e.g. roboturk) get zeros so the
+                # downstream schema stays fixed-shape
+                n = tf.shape(batched["action"])[0]
+                obs["proprio"] = tf.zeros([n, tf.shape(batched["action"])[-1]], tf.float32)
             task = {"language_instruction": batched[cfg["language_key"]]}
             return {
                 "observation": obs,

@@ -137,3 +137,37 @@ def test_oxe_configs_registered():
     assert "oxe_magic_soup" in OXE_NAMED_MIXTURES
     for name, _w in OXE_NAMED_MIXTURES["oxe_magic_soup"]:
         assert name in OXE_DATASET_CONFIGS, name
+
+
+def test_oxe_full_matrix_consistency():
+    """Full OXE matrix: every mixture member has a dataset config, every
+    config has a standardization transform, configs are well-formed
+    (reference oxe/configs.py x oxe/transforms.py x oxe/mixtures.py)."""
+    from mla_tpu.vla.rlds.dataset import OXE_DATASET_CONFIGS, OXE_NAMED_MIXTURES
+    from mla_tpu.vla.rlds.oxe_transforms import OXE_STANDARDIZATION_TRANSFORMS
+
+    assert len(OXE_DATASET_CONFIGS) >= 70
+    for mix, members in OXE_NAMED_MIXTURES.items():
+        for name, w in members:
+            assert name in OXE_DATASET_CONFIGS, f"{mix}: {name}"
+            assert w > 0
+    for name, cfg in OXE_DATASET_CONFIGS.items():
+        assert name in OXE_STANDARDIZATION_TRANSFORMS, name
+        assert "image_obs_keys" in cfg and "proprio_obs_key" in cfg
+        assert None not in cfg["image_obs_keys"].values(), name
+    # the reference's headline mixtures are present weight-for-weight
+    plus = dict(OXE_NAMED_MIXTURES["oxe_magic_soup_plus"])
+    assert plus["fractal20220817_data"] == 0.54087122203
+    assert plus["droid"] == 0.06 and plus["bc_z"] == 0.2
+    minus = dict(OXE_NAMED_MIXTURES["oxe_magic_soup_plus_minus"])
+    assert minus["fractal20220817_data"] == 1.0 and "droid" not in minus
+
+
+def test_invert_transform_convention():
+    import tensorflow as tf
+
+    from mla_tpu.vla.rlds.oxe_transforms import invert_transform
+
+    act = tf.constant([[0, 0, 0, 0, 0, 0, 1.0], [0, 0, 0, 0, 0, 0, 0.0]])
+    out = invert_transform({"action": act})["action"].numpy()
+    assert out[0, -1] == 0.0 and out[1, -1] == 1.0
