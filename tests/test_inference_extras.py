@@ -154,3 +154,48 @@ def test_predict_action_diff_batched(policy):
     # identical observations + shared noise seed path -> per-sample noise
     # differs only through the rng split; rows are valid action chunks
     assert set(np.unique(acts[:, :, 6])) <= {0.0, 1.0}
+
+
+def test_eval_rlbench_offline_trace(tmp_path):
+    """scripts/eval_rlbench.py --offline_trace e2e: tiny run dir + recorded
+    npz trace -> predicted_actions.npz with one chunk per frame (the
+    simulator-free half of the reference's test_rlbench.py harness)."""
+    import importlib
+    import json
+    import sys
+
+    from mla_tpu.conf.vla import get_vla_config
+    from mla_tpu.training import checkpointing as ckpt
+    from mla_tpu.training import optim, strategy
+
+    cfg = tiny_config()
+    params, mstate = tiny_model(cfg)
+    tx, _, _ = optim.make_optimizer(params, num_training_steps=10)
+    state = strategy.init_train_state(params, tx, mstate)
+    run_dir = tmp_path / "run"
+    stats = {"rlbench": {"action": {"q01": [-1.0] * 7, "q99": [1.0] * 7},
+                         "proprio": {"q01": [-1.0] * 7, "q99": [1.0] * 7}}}
+    ckpt.write_run_metadata(run_dir, get_vla_config("mla-tiny-debug"), cfg, stats)
+    ckpt.save_checkpoint(run_dir, state, step=1, epoch=0, loss=0.5)
+
+    rng = np.random.default_rng(0)
+    trace = tmp_path / "trace.npz"
+    np.savez(
+        trace,
+        images=rng.integers(0, 255, size=(2, 96, 128, 3), dtype=np.uint8),
+        point_clouds=rng.uniform(-0.3, 0.7, size=(2, cfg.point.input_points, 3)).astype(np.float32),
+        instruction="close the box",
+    )
+
+    sys.path.insert(0, "scripts")
+    eval_mod = importlib.import_module("eval_rlbench")
+    rc = eval_mod.main([
+        "--run_dir", str(run_dir), "--model", "mla-tiny",
+        "--offline_trace", str(trace), "--output_dir", str(tmp_path / "out"),
+        "--unnorm_key", "rlbench",
+    ])
+    assert rc == 0
+    blob = np.load(tmp_path / "out" / "predicted_actions.npz")
+    assert blob["actions"].shape == (2, cfg.action_horizon, cfg.action_dim)
+    assert np.isfinite(blob["actions"]).all()
+    assert blob["latencies"].shape == (2,)
