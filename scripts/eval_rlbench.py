@@ -119,9 +119,10 @@ def run_offline_trace(args, logger):
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
     np.savez(out / "predicted_actions.npz", actions=np.stack(actions), latencies=np.asarray(latencies))
+    warm = latencies[1:] if len(latencies) > 1 else latencies  # drop compile step
     logger.info(
         f"offline trace: {len(images)} steps, p50 latency "
-        f"{np.percentile(latencies[1:], 50) * 1e3:.1f} ms"
+        f"{np.percentile(warm, 50) * 1e3:.1f} ms"
     )
     return 0
 
