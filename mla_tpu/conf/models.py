@@ -113,12 +113,73 @@ def mla_tiny(**kw) -> prismatic.MLAModelConfig:
     )
 
 
+def mla_mistral(
+    use_diff: bool = True,
+    use_pointcloud: bool = True,
+    use_tactile: bool = False,
+    use_contrastive: bool = True,
+    use_generation: bool = False,
+    use_roi: bool = False,
+    camera_name: str = "rlbench_front",
+    param_dtype=jnp.bfloat16,
+    **kw,
+) -> prismatic.MLAModelConfig:
+    """Mistral-7B backbone (GQA, 8 KV heads) — the reference's
+    MistralLLMBackbone (models/backbones/llm/mistral.py) composed with the
+    same multisensory front-end."""
+    llama_cfg = replace(llama_mod.MISTRAL_7B, param_dtype=param_dtype)
+    return prismatic.MLAModelConfig(
+        llm_family="llama",
+        llama=llama_cfg,
+        vision=vt_mod.VisionTokenizerConfig(),
+        point=pt_mod.PointTokenizerConfig(),
+        gen=_gen_cfg(4096, use_generation, use_tactile, use_roi),
+        use_diff=use_diff, use_pointcloud=use_pointcloud, use_tactile=use_tactile,
+        use_contrastive=use_contrastive, use_generation=use_generation,
+        use_roi=use_roi, camera_name=camera_name, **kw,
+    )
+
+
+def mla_phi(
+    use_diff: bool = True,
+    use_pointcloud: bool = True,
+    use_tactile: bool = False,
+    use_contrastive: bool = True,
+    use_generation: bool = False,
+    use_roi: bool = False,
+    camera_name: str = "rlbench_front",
+    param_dtype=jnp.bfloat16,
+    **kw,
+) -> prismatic.MLAModelConfig:
+    """Phi-2 backbone (parallel attn+MLP blocks, partial RoPE) — the
+    reference's PhiLLMBackbone (models/backbones/llm/phi.py) composed with
+    the same multisensory front-end (token_size 2560)."""
+    from dataclasses import replace as _rep
+
+    from mla_tpu.models import phi as phi_mod
+
+    phi_cfg = _rep(phi_mod.PHI_2, param_dtype=param_dtype)
+    D = phi_cfg.hidden_size
+    return prismatic.MLAModelConfig(
+        llm_family="phi",
+        llama=phi_cfg,
+        vision=vt_mod.VisionTokenizerConfig(),
+        point=pt_mod.PointTokenizerConfig(),
+        gen=_gen_cfg(D, use_generation, use_tactile, use_roi),
+        use_diff=use_diff, use_pointcloud=use_pointcloud, use_tactile=use_tactile,
+        use_contrastive=use_contrastive, use_generation=use_generation,
+        use_roi=use_roi, camera_name=camera_name, **kw,
+    )
+
+
 MODEL_REGISTRY: Dict[str, Callable[..., prismatic.MLAModelConfig]] = {
     "mla-7b": mla_7b,
     "prism-dinosiglip-224px+7b": mla_7b,  # the reference's base_vlm id
     "mla-2b": mla_2b,
     "mla-small": mla_small,
     "mla-tiny": mla_tiny,
+    "mla-mistral": mla_mistral,
+    "mla-phi": mla_phi,
 }
 
 

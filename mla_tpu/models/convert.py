@@ -145,6 +145,39 @@ def convert_llama(
     }
 
 
+def convert_mistral(
+    sd: Dict[str, Any], num_layers: int, prefix: str = "llm.",
+    target_vocab: Optional[int] = None,
+) -> Dict[str, Any]:
+    """HF MistralForCausalLM -> models/llama.py stacked pytree. Mistral
+    shares llama2's key layout (q/k/v/o + gate/up/down + RMSNorms,
+    reference models/backbones/llm/mistral.py); only the shapes differ
+    (GQA: k/v project to num_kv_heads * head_dim)."""
+    return convert_llama(sd, num_layers, prefix=prefix, target_vocab=target_vocab)
+
+
+def convert_phi(
+    sd: Dict[str, Any], num_layers: int, prefix: str = "llm.",
+    target_vocab: Optional[int] = None,
+) -> Dict[str, Any]:
+    """HF PhiForCausalLM (reference models/backbones/llm/phi.py wraps it as
+    `self.llm`) -> models/phi.py stacked pytree, with the same mean-padding
+    vocab resize as convert_llama."""
+    from mla_tpu.models.phi import convert_hf_phi
+
+    params = convert_hf_phi(sd, num_layers, prefix=prefix)
+    embed_table = params["embed"]["table"]
+    if target_vocab is not None and embed_table.shape[0] < target_vocab:
+        n_new = target_vocab - embed_table.shape[0]
+        embed_pad = np.tile(embed_table.mean(axis=0, keepdims=True), (n_new, 1))
+        params["embed"]["table"] = np.concatenate([embed_table, embed_pad], axis=0)
+        head_w, head_b = params["lm_head"]["w"], params["lm_head"]["b"]
+        w_pad = np.tile(head_w.mean(axis=1, keepdims=True), (1, n_new))
+        params["lm_head"]["w"] = np.concatenate([head_w, w_pad], axis=1)
+        params["lm_head"]["b"] = np.concatenate([head_b, np.full((n_new,), head_b.mean(), head_b.dtype)])
+    return params
+
+
 def convert_contrastive(sd: Dict[str, Any], prefix: str = "llm.") -> Dict[str, Any]:
     """The contrastive projection heads grafted onto the reference's llama
     (modeling_llama.py:1143-1156) -> our models/contrastive.py params."""

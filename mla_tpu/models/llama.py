@@ -70,6 +70,14 @@ LLAMA2_TEST = LlamaConfig(
     vocab_size=32064, hidden_size=256, intermediate_size=688, num_layers=4,
     num_heads=4, num_kv_heads=4, contrastive_layer=2,
 )
+# Mistral-7B-v0.1 (reference models/backbones/llm/mistral.py): same block as
+# llama2 with GQA (8 KV heads) and a wider MLP. Sliding-window attention is
+# not implemented — below the 4096-token window it is exactly full causal
+# attention, and every MLA sequence fits well inside it.
+MISTRAL_7B = LlamaConfig(
+    vocab_size=32064, hidden_size=4096, intermediate_size=14336, num_layers=32,
+    num_heads=32, num_kv_heads=8, max_position_embeddings=32768,
+)
 
 
 def llama_init(key: jax.Array, cfg: LlamaConfig) -> Dict[str, Any]:

@@ -299,7 +299,8 @@ def greedy_decode_actions(
     top_k: int = 0,
     key: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """AR decode of `num_tokens` tokens as a lax.scan; returns [B, num_tokens].
+    """AR decode of `num_tokens` tokens as a lax.scan; returns
+    ([B, num_tokens] token ids, [B, num_tokens] per-token max softmax probs).
     temperature == 0 -> greedy (the reference predict_action_ar via HF
     generate, model_mla.py:564-574); temperature > 0 -> sampling with
     optional top-k truncation (HF GenerationMixin's do_sample options)."""
@@ -328,16 +329,22 @@ def greedy_decode_actions(
         i, k = inputs
         cache, logits = carry
         tok = select(logits, k)  # [B]
+        # per-token confidence: max softmax prob of the distribution the
+        # token was drawn from (reference model_mla.py:895-907 output_scores)
+        f32 = logits.astype(jnp.float32)
+        prob = jnp.exp(jnp.max(f32, axis=-1) - jax.nn.logsumexp(f32, axis=-1))
         emb = decoder.embed_tokens(params["llm_backbone"], tok[:, None])
         key_mask = (jnp.arange(cache_max) < prefix_len + i + 1)[None, :].repeat(B, axis=0)
         out = decoder.forward(
             params["llm_backbone"], cfg.llama, emb,
             kv_cache=cache, cache_len=prefix_len + i, key_mask=key_mask,
         )
-        return (out["kv_cache"], out["logits"][:, -1]), tok
+        return (out["kv_cache"], out["logits"][:, -1]), (tok, prob)
 
-    (_, _), toks = jax.lax.scan(step, (kv_cache, last_logits), (jnp.arange(num_tokens), keys))
-    return jnp.swapaxes(toks, 0, 1)  # [B, num_tokens]
+    (_, _), (toks, probs) = jax.lax.scan(
+        step, (kv_cache, last_logits), (jnp.arange(num_tokens), keys)
+    )
+    return jnp.swapaxes(toks, 0, 1), jnp.swapaxes(probs, 0, 1)  # [B, T] each
 
 
 # --------------------------------------------------------------------------- #
@@ -574,10 +581,12 @@ class MLAPolicy:
         instruction: str,
         unnorm_key: Optional[str] = None,
         input_ids: Optional[np.ndarray] = None,
+        return_probs: bool = False,
     ) -> np.ndarray:
         """Reference predict_action_ar (model_mla.py:494-589): greedy decode
         of action_dim discretized tokens, decoded through the action
-        tokenizer and unnormalized."""
+        tokenizer and unnormalized. With `return_probs`, also returns the
+        per-token max softmax confidences (model_mla.py:895-907)."""
         cfg = self.cfg
         if input_ids is None:
             input_ids = build_prompt_ids(self.tokenizer, instruction, mode="ar")
@@ -586,10 +595,15 @@ class MLAPolicy:
         proprio = np.zeros((1, 1, cfg.action_dim), np.float32)
 
         fn = self._ar_fn(int(input_ids.shape[1]), cfg.action_dim)
-        toks = fn(self.params, self.state, jnp.asarray(input_ids), images, pc, jnp.asarray(proprio))
+        toks, probs = fn(
+            self.params, self.state, jnp.asarray(input_ids), images, pc, jnp.asarray(proprio)
+        )
         token_ids = np.asarray(toks[0])
         normalized = self.action_tokenizer.decode_token_ids_to_actions(token_ids)
-        return unnormalize_actions(normalized, self.get_action_stats(unnorm_key))
+        actions = unnormalize_actions(normalized, self.get_action_stats(unnorm_key))
+        if return_probs:
+            return actions, [float(p) for p in np.asarray(probs[0])]
+        return actions
 
     def generate_text(
         self,
@@ -612,7 +626,7 @@ class MLAPolicy:
         proprio = np.zeros((1, 1, self.cfg.action_dim), np.float32)
         fn = self._ar_fn(int(input_ids.shape[1]), max_new_tokens)
         toks = np.asarray(
-            fn(self.params, self.state, jnp.asarray(input_ids), images, pc, jnp.asarray(proprio))
+            fn(self.params, self.state, jnp.asarray(input_ids), images, pc, jnp.asarray(proprio))[0]
         )[0]
         eos = np.nonzero(toks == EOS_ID)[0]
         if len(eos):
@@ -639,8 +653,9 @@ class MLAPolicy:
 
         ar_ids = build_prompt_ids(self.tokenizer, instruction, mode="ar")
         t0 = _time.perf_counter()
-        ar_actions = self.predict_action_ar(
-            front_image, pointcloud, instruction, unnorm_key=unnorm_key, input_ids=ar_ids
+        ar_actions, ar_max_probs = self.predict_action_ar(
+            front_image, pointcloud, instruction, unnorm_key=unnorm_key, input_ids=ar_ids,
+            return_probs=True,
         )
         t_ar = _time.perf_counter() - t0
 
@@ -653,6 +668,9 @@ class MLAPolicy:
         return {
             "actions": diff_actions,
             "ar_actions": ar_actions,
+            # per-token AR confidences over the action_dim decode steps
+            # (reference model_mla.py:901-907 `max_probs`)
+            "ar_max_probs": ar_max_probs[-self.cfg.action_dim:],
             "timings": [t_ar, t_diff],
         }
 

@@ -54,7 +54,7 @@ def get_vla_dataset_and_collator(
     base_tokenizer = base_tokenizer or SimpleTokenizer()
     action_tokenizer = ActionTokenizer(base_tokenizer, vocab_size=32000)
 
-    ds, stats = make_interleaved_dataset(
+    ds, dataset_len, stats = make_interleaved_dataset(
         data_mix, data_root_dir,
         train=True,
         shuffle_buffer_size=shuffle_buffer_size,

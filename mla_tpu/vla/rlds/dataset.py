@@ -2,260 +2,128 @@
 
 Parity target: vla/datasets/rlds/dataset.py —
   * make_dataset_from_rlds (:39-293): tfds builder -> restructure into
-    {observation, task, action} with MLA's point-cloud / tactile /
-    gripper_xyz passthrough keys (:179-188; the reference's
-    next_tactile_left copy-bug at :188 is fixed here), normalization.
-  * apply_trajectory_transforms (:294-410): window/future chunking, skip
-    unlabeled, subsample.
-  * apply_frame_transforms (:411-468): decode/resize/augment.
-  * make_interleaved_dataset (:499-635): weighted sampling, shuffle,
-    per-host sharding (explicit `shard(process_count, process_index)` —
-    deliberate replacement for the reference's per-rank independent
-    shuffles).
+    {observation, task, action} via the per-dataset standardization
+    transform (oxe/transforms.py), camera-view key maps with None->padding,
+    `state_obs_keys` proprio concatenation, MLA point-cloud / tactile
+    passthrough (:179-188; the reference's next_tactile_left copy-bug at
+    :188 is fixed here), absolute/normalization masks, full-pass hash-cached
+    statistics, BOUNDS_Q99 normalization.
+  * apply_trajectory_transforms (:294-393): pad-mask dict, goal relabeling,
+    task augmentation, window/future chunking, filters, subsample.
+  * apply_frame_transforms (:411-468): decode/resize/augment with per-key
+    kwargs, padding-aware.
+  * make_interleaved_dataset (:499-635): size-balanced weighted sampling,
+    thread allocation, per-dataset frame filters, shuffle, val caching.
 
-Dataset standardization configs live in OXE_DATASET_CONFIGS (parity with
-vla/datasets/rlds/oxe/configs.py:58-66 'rlbench' incl. next_primary keys).
+Dataset configs/mixtures/transforms live in `mla_tpu.vla.rlds.oxe`.
 """
 
 from __future__ import annotations
 
+import inspect
+from functools import partial
+from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from mla_tpu.vla.rlds import transforms as T
 from mla_tpu.utils.overwatch import initialize_overwatch
+from mla_tpu.vla.rlds import transforms as T
+from mla_tpu.vla.rlds.oxe import (
+    OXE_DATASET_CONFIGS,
+    OXE_NAMED_MIXTURES,
+    POINTCLOUD_KEYS,
+    TACTILE_KEYS,
+    get_oxe_dataset_kwargs_and_weights,
+    get_standardization_transform,
+)
 
 overwatch = initialize_overwatch(__name__)
 
-# --- OXE dataset configs (oxe/configs.py) -----------------------------------
-OXE_DATASET_CONFIGS: Dict[str, Dict[str, Any]] = {
-    "rlbench": {
-        "image_obs_keys": {"primary": "front_rgb", "next_primary": "next_front_rgb"},
-        "depth_obs_keys": {},
-        "pointcloud_obs_keys": {"point_cloud": "point_cloud", "next_point_cloud": "next_point_cloud"},
-        "tactile_obs_keys": {},
-        "proprio_obs_key": "proprio",
-        "language_key": "language_instruction",
-        "action_proprio_normalization_type": T.NormalizationType.BOUNDS_Q99,
-    },
-    "franka": {
-        "image_obs_keys": {"primary": "front_rgb", "next_primary": "next_front_rgb",
-                           "wrist_right": "wrist_right_rgb"},
-        "depth_obs_keys": {},
-        "pointcloud_obs_keys": {"point_cloud": "point_cloud", "next_point_cloud": "next_point_cloud"},
-        "tactile_obs_keys": {
-            "tactile_right": "tactile_right", "tactile_left": "tactile_left",
-            "next_tactile_right": "next_tactile_right", "next_tactile_left": "next_tactile_left",
-            "gripper_xyz": "gripper_xyz",
-        },
-        "proprio_obs_key": "proprio",
-        "language_key": "language_instruction",
-        "action_proprio_normalization_type": T.NormalizationType.BOUNDS_Q99,
-    },
-}
-
-def _cfg(primary, proprio, secondary=None, wrist=None, next_primary=None):
-    """Key map for one OXE dataset (camera names + proprio source are facts
-    of the published RLDS builders, oxe/configs.py). None proprio -> the
-    restructure step fills zeros."""
-    imgs = {"primary": primary, "secondary": secondary, "wrist": wrist,
-            "next_primary": next_primary}
-    return {
-        "image_obs_keys": {k: v for k, v in imgs.items() if v is not None},
-        "depth_obs_keys": {},
-        "pointcloud_obs_keys": {},
-        "tactile_obs_keys": {},
-        "proprio_obs_key": proprio,
-        "language_key": "language_instruction",
-        "action_proprio_normalization_type": T.NormalizationType.BOUNDS_Q99,
-    }
+_DEFAULT_STATS_CACHE = "~/.cache/mla_tpu"
 
 
-# full Open-X-Embodiment matrix (key maps per oxe/configs.py; each entry is
-# (primary, proprio[, secondary, wrist]) with dataset-builder key names)
-OXE_DATASET_CONFIGS.update(
-    {
-        # MLA-added suites
-        "metaworld": _cfg("image_third", "proprio", next_primary="next_image_third"),
-        "franka_dual": {
-            "image_obs_keys": {"primary": "image_third", "next_primary": "next_image_third",
-                               "wrist_right": "image_wrist_right", "wrist_left": "image_wrist_left"},
-            "depth_obs_keys": {},
-            "pointcloud_obs_keys": {},
-            "tactile_obs_keys": {},
-            "proprio_obs_key": "proprio",
-            "language_key": "language_instruction",
-            "action_proprio_normalization_type": T.NormalizationType.BOUNDS_Q99,
-        },
-        "rtx_dataset": _cfg("image", "proprio", next_primary="next_image"),
-        # Google robots
-        "fractal20220817_data": _cfg("image", "base_pose_tool_reached"),
-        "kuka": _cfg("image", "clip_function_input/base_pose_tool_reached"),
-        "custom_finetuning": _cfg("image", "base_pose_tool_reached"),
-        # Bridge V2 variants
-        "bridge_oxe": _cfg("image", "EEF_state", secondary="image_1"),
-        "bridge_orig": _cfg("image_0", "EEF_state", secondary="image_1"),
-        "bridge_dataset": _cfg("image_0", "EEF_state", secondary="image_1"),
-        # moderate-scale labs
-        "taco_play": _cfg("rgb_static", "state_eef", wrist="rgb_gripper"),
-        "jaco_play": _cfg("image", "state_eef", wrist="image_wrist"),
-        "berkeley_cable_routing": _cfg("image", "robot_state", secondary="top_image", wrist="wrist45_image"),
-        "roboturk": _cfg("front_rgb", None),
-        "nyu_door_opening_surprising_effectiveness": _cfg(None, None, wrist="image"),
-        "viola": _cfg("agentview_rgb", "joint_states", wrist="eye_in_hand_rgb"),
-        "berkeley_autolab_ur5": _cfg("image", "state", wrist="hand_image"),
-        "toto": _cfg("image", "state"),
-        "language_table": _cfg("rgb", "effector_translation"),
-        "columbia_cairlab_pusht_real": _cfg("image", "robot_state", wrist="wrist_image"),
-        "stanford_kuka_multimodal_dataset_converted_externally_to_rlds": _cfg("image", "ee_position"),
-        "nyu_rot_dataset_converted_externally_to_rlds": _cfg("image", "eef_state"),
-        "stanford_hydra_dataset_converted_externally_to_rlds": _cfg("image", "eef_state", wrist="wrist_image"),
-        "austin_buds_dataset_converted_externally_to_rlds": _cfg("image", "state", wrist="wrist_image"),
-        "nyu_franka_play_dataset_converted_externally_to_rlds": _cfg("image", "eef_state", secondary="image_additional_view"),
-        "maniskill_dataset_converted_externally_to_rlds": _cfg("image", "tcp_pose", wrist="wrist_image"),
-        "furniture_bench_dataset_converted_externally_to_rlds": _cfg("image", "state", wrist="wrist_image"),
-        "cmu_franka_exploration_dataset_converted_externally_to_rlds": _cfg("highres_image", None),
-        "ucsd_kitchen_dataset_converted_externally_to_rlds": _cfg("image", "joint_state"),
-        "ucsd_pick_and_place_dataset_converted_externally_to_rlds": _cfg("image", "eef_state"),
-        "austin_sailor_dataset_converted_externally_to_rlds": _cfg("image", "state", wrist="wrist_image"),
-        "austin_sirius_dataset_converted_externally_to_rlds": _cfg("image", "state", wrist="wrist_image"),
-        "bc_z": _cfg("image", "present/xyz"),
-        "utokyo_pr2_opening_fridge_converted_externally_to_rlds": _cfg("image", "eef_state"),
-        "utokyo_pr2_tabletop_manipulation_converted_externally_to_rlds": _cfg("image", "eef_state"),
-        "utokyo_xarm_pick_and_place_converted_externally_to_rlds": _cfg("image", "end_effector_pose", secondary="image2", wrist="hand_image"),
-        "utokyo_xarm_bimanual_converted_externally_to_rlds": _cfg("image", "pose_r"),
-        "robo_net": _cfg("image", "eef_state", secondary="image1"),
-        "berkeley_mvp_converted_externally_to_rlds": _cfg(None, "pose", wrist="hand_image"),
-        "berkeley_rpt_converted_externally_to_rlds": _cfg(None, "joint_pos", wrist="hand_image"),
-        "kaist_nonprehensile_converted_externally_to_rlds": _cfg("image", "state"),
-        "stanford_mask_vit_converted_externally_to_rlds": _cfg("image", "eef_state"),
-        "tokyo_u_lsmo_converted_externally_to_rlds": _cfg("image", "eef_state"),
-        "dlr_sara_pour_converted_externally_to_rlds": _cfg("image", "state"),
-        "dlr_sara_grid_clamp_converted_externally_to_rlds": _cfg("image", "state"),
-        "dlr_edan_shared_control_converted_externally_to_rlds": _cfg("image", "state"),
-        "asu_table_top_converted_externally_to_rlds": _cfg("image", "eef_state"),
-        "stanford_robocook_converted_externally_to_rlds": _cfg("image_1", "eef_state", secondary="image_2"),
-        "imperialcollege_sawyer_wrist_cam": _cfg("image", "state", wrist="wrist_image"),
-        "iamlab_cmu_pickup_insert_converted_externally_to_rlds": _cfg("image", "joint_state", wrist="wrist_image"),
-        "uiuc_d3field": _cfg("image_1", None, secondary="image_2"),
-        "utaustin_mutex": _cfg("image", "state", wrist="wrist_image"),
-        "berkeley_fanuc_manipulation": _cfg("image", "joint_state", wrist="wrist_image"),
-        "cmu_playing_with_food": _cfg("image", "state", wrist="finger_vision_1"),
-        "cmu_play_fusion": _cfg("image", "state"),
-        "cmu_stretch": _cfg("image", "eef_state"),
-        "berkeley_gnm_recon": _cfg(None, "state", wrist="image"),
-        "berkeley_gnm_cory_hall": _cfg(None, "state", wrist="image"),
-        "berkeley_gnm_sac_son": _cfg(None, "state", wrist="image"),
-        "droid": _cfg("exterior_image_1_left", "proprio", secondary="exterior_image_2_left", wrist="wrist_image_left"),
-        "droid_wipe": _cfg("exterior_image_2_left", "proprio", wrist="wrist_image_left"),
-        "fmb_dataset": _cfg("image_side_1", "proprio", secondary="image_side_2", wrist="image_wrist_1"),
-        "dobbe": _cfg("wrist_image", "proprio"),
-        "roboset": _cfg("image_left", "proprio", secondary="image_right", wrist="image_wrist"),
-        "rh20t": _cfg("image_front", "proprio", secondary="image_side_right", wrist="image_wrist"),
-        "tdroid_carrot_in_bowl": _cfg("static_image", "EEF_state"),
-        "tdroid_pour_corn_in_pot": _cfg("static_image", "EEF_state"),
-        "tdroid_flip_pot_upright": _cfg("static_image", "EEF_state"),
-        "tdroid_move_object_onto_plate": _cfg("static_image", "EEF_state"),
-        "tdroid_knock_object_over": _cfg("static_image", "EEF_state"),
-        "tdroid_cover_object_with_towel": _cfg("static_image", "EEF_state"),
-        # short aliases kept from earlier revisions (same key maps)
-        "stanford_hydra_dataset": _cfg("image", "eef_state", wrist="wrist_image"),
-        "austin_buds_dataset": _cfg("image", "state", wrist="wrist_image"),
-        "nyu_franka_play_dataset": _cfg("image", "eef_state", secondary="image_additional_view"),
-        "ucsd_kitchen_dataset": _cfg("image", "joint_state"),
-        "austin_sailor_dataset": _cfg("image", "state", wrist="wrist_image"),
-        "austin_sirius_dataset": _cfg("image", "state", wrist="wrist_image"),
-        "dlr_edan_shared_control": _cfg("image", "state"),
-        "iamlab_cmu_pickup_insert": _cfg("image", "joint_state", wrist="wrist_image"),
-    }
-)
+def make_restructure_fn(
+    name: str,
+    standardize_fn: Callable[[Dict], Dict],
+    image_obs_keys: Dict[str, Optional[str]],
+    depth_obs_keys: Dict[str, Optional[str]],
+    state_obs_keys: Sequence[Optional[str]],
+    language_key: Optional[str],
+    load_pointcloud: bool,
+    load_tactile: bool,
+    absolute_action_mask: Optional[Sequence[bool]] = None,
+    absolute_proprio_mask: Optional[Sequence[bool]] = None,
+) -> Callable[[Dict], Dict]:
+    """The raw-trajectory -> standardized-schema map (reference
+    dataset.py:137-232). Module-level so tests can feed each dataset's raw
+    builder feature structure through it without a tfds builder."""
+    import tensorflow as tf
 
-# --- data mixtures (oxe/mixtures.py:11-210, weight-for-weight) ---------------
-_MAGIC_SOUP_CORE: List[Tuple[str, float]] = [
-    ("fractal20220817_data", 0.54087122203),
-    ("kuka", 0.8341046294),
-    ("bridge_orig", 1.0),
-    ("taco_play", 2.0),
-    ("jaco_play", 1.0),
-    ("berkeley_cable_routing", 1.0),
-    ("roboturk", 2.0),
-    ("viola", 2.0),
-    ("berkeley_autolab_ur5", 2.0),
-    ("toto", 1.0),
-    ("stanford_hydra_dataset_converted_externally_to_rlds", 2.0),
-    ("austin_buds_dataset_converted_externally_to_rlds", 1.0),
-    ("nyu_franka_play_dataset_converted_externally_to_rlds", 3.0),
-    ("furniture_bench_dataset_converted_externally_to_rlds", 0.1),
-    ("ucsd_kitchen_dataset_converted_externally_to_rlds", 2.0),
-    ("austin_sailor_dataset_converted_externally_to_rlds", 1.0),
-    ("austin_sirius_dataset_converted_externally_to_rlds", 1.0),
-    ("dlr_edan_shared_control_converted_externally_to_rlds", 1.0),
-    ("iamlab_cmu_pickup_insert_converted_externally_to_rlds", 1.0),
-    ("utaustin_mutex", 1.0),
-    ("berkeley_fanuc_manipulation", 2.0),
-    ("cmu_stretch", 1.0),
-]
-_MAGIC_SOUP_PLUS_EXTRA: List[Tuple[str, float]] = [
-    ("bc_z", 0.2),
-    ("fmb_dataset", 1.0),
-    ("dobbe", 0.2),
-]
+    def restructure(traj: Dict) -> Dict:
+        traj = standardize_fn(dict(traj))
+        for required in ("observation", "action"):
+            if required not in traj:
+                raise ValueError(f"standardize_fn for `{name}` must produce `{required}`")
 
-OXE_NAMED_MIXTURES: Dict[str, List[Tuple[str, float]]] = {
-    "rlbench": [("rlbench", 1.0)],
-    "metaworld": [("metaworld", 1.0)],
-    "franka": [("franka", 1.0)],
-    "franka_dual": [("franka_dual", 1.0)],
-    "rtx_dataset": [("rtx_dataset", 1.0)],
-    "bridge": [("bridge_orig", 1.0)],
-    "bridge_rt_1": [("bridge_orig", 1.0), ("fractal20220817_data", 1.0)],
-    "oxe_magic_soup": [
-        ("fractal20220817_data", 0.54087122203),
-        ("kuka", 0.8341046294),
-        ("bridge_orig", 1.0),
-        ("taco_play", 2.0),
-        ("jaco_play", 2.0),
-        ("berkeley_cable_routing", 3.0),
-        ("roboturk", 1.0),
-        ("viola", 2.0),
-        ("berkeley_autolab_ur5", 1.0),
-        ("toto", 1.0),
-        ("taco_play", 1.0),
-        ("berkeley_cable_routing", 1.0),
-        ("viola", 1.0),
-        ("toto", 1.0),
-        ("stanford_hydra_dataset_converted_externally_to_rlds", 1.0),
-        ("austin_buds_dataset_converted_externally_to_rlds", 3.0),
-        ("nyu_franka_play_dataset_converted_externally_to_rlds", 3.0),
-        ("maniskill_dataset_converted_externally_to_rlds", 0.1),
-        ("furniture_bench_dataset_converted_externally_to_rlds", 0.1),
-        ("cmu_franka_exploration_dataset_converted_externally_to_rlds", 5.0),
-        ("austin_sailor_dataset_converted_externally_to_rlds", 1.0),
-        ("austin_sirius_dataset_converted_externally_to_rlds", 1.0),
-        ("berkeley_rpt_converted_externally_to_rlds", 1.0),
-        ("kaist_nonprehensile_converted_externally_to_rlds", 3.0),
-        ("stanford_robocook_converted_externally_to_rlds", 1.0),
-        ("iamlab_cmu_pickup_insert_converted_externally_to_rlds", 1.0),
-        ("utaustin_mutex", 1.0),
-        ("cmu_play_fusion", 1.0),
-    ],
-    "oxe_magic_soup_plus": (
-        _MAGIC_SOUP_CORE + [("language_table", 0.1)] + _MAGIC_SOUP_PLUS_EXTRA
-        + [("droid", 0.06)]
-    ),
-    "oxe_magic_soup_plus_minus": (
-        [("fractal20220817_data", 1.0)] + _MAGIC_SOUP_CORE[1:] + _MAGIC_SOUP_PLUS_EXTRA
-    ),
-    "tdroid_carrot_in_bowl": [("tdroid_carrot_in_bowl", 1.0)],
-    "tdroid_pour_corn_in_pot": [("tdroid_pour_corn_in_pot", 1.0)],
-    "tdroid_flip_pot_upright": [("tdroid_flip_pot_upright", 1.0)],
-    "tdroid_move_object_onto_plate": [("tdroid_move_object_onto_plate", 1.0)],
-    "tdroid_knock_object_over": [("tdroid_knock_object_over", 1.0)],
-    "tdroid_cover_object_with_towel": [("tdroid_cover_object_with_towel", 1.0)],
-    "droid_wipe": [("droid_wipe", 1.0)],
-    "custom_finetuning": [("custom_finetuning", 1.0)],
-}
+        traj_len = tf.shape(traj["action"])[0]
+        old_obs = traj["observation"]
+        obs: Dict[str, Any] = {}
+        for new, old in image_obs_keys.items():
+            obs[f"image_{new}"] = tf.repeat("", traj_len) if old is None else old_obs[old]
+        for new, old in depth_obs_keys.items():
+            obs[f"depth_{new}"] = tf.repeat("", traj_len) if old is None else old_obs[old]
+
+        # proprio: a standardized `proprio` key wins; otherwise concatenate
+        # state_obs_keys (None -> one zero column). The reference overwrites
+        # with old_obs["proprio"] unconditionally (dataset.py:178), which
+        # crashes every dataset without that key — fixed here.
+        if "proprio" in old_obs:
+            obs["proprio"] = tf.cast(old_obs["proprio"], tf.float32)
+        elif any(k is not None for k in state_obs_keys):
+            obs["proprio"] = tf.concat(
+                [
+                    tf.zeros((traj_len, 1), tf.float32) if key is None
+                    else tf.cast(old_obs[key], tf.float32)
+                    for key in state_obs_keys
+                ],
+                axis=1,
+            )
+        elif state_obs_keys:
+            obs["proprio"] = tf.zeros((traj_len, len(state_obs_keys)), tf.float32)
+        else:
+            obs["proprio"] = tf.zeros([traj_len, tf.shape(traj["action"])[-1]], tf.float32)
+        obs["timestep"] = tf.range(traj_len)
+
+        if load_pointcloud:
+            for key in POINTCLOUD_KEYS:
+                obs[key] = tf.cast(old_obs[key], tf.float32)
+        if load_tactile:
+            for key in TACTILE_KEYS:
+                obs[key] = tf.cast(old_obs[key], tf.float32)
+
+        task: Dict[str, Any] = {}
+        if language_key is not None:
+            lang = traj[language_key] if language_key in traj else old_obs[language_key]
+            task["language_instruction"] = lang
+
+        out = {
+            "observation": obs,
+            "task": task,
+            "action": tf.cast(traj["action"], tf.float32),
+            "dataset_name": tf.repeat(name, traj_len),
+        }
+        if absolute_action_mask is not None:
+            out["absolute_action_mask"] = tf.tile(
+                tf.convert_to_tensor(absolute_action_mask, tf.bool)[None], [traj_len, 1]
+            )
+        if absolute_proprio_mask is not None:
+            out["absolute_proprio_mask"] = tf.tile(
+                tf.convert_to_tensor(absolute_proprio_mask, tf.bool)[None], [traj_len, 1]
+            )
+        return out
+
+    return restructure
 
 
 def make_dataset_from_rlds(
@@ -263,14 +131,31 @@ def make_dataset_from_rlds(
     data_dir: str,
     *,
     train: bool = True,
+    standardize_fn: Optional[Callable[[Dict], Dict]] = None,
+    shuffle: bool = True,
+    image_obs_keys: Optional[Dict[str, Optional[str]]] = None,
+    depth_obs_keys: Optional[Dict[str, Optional[str]]] = None,
+    state_obs_keys: Optional[Sequence[Optional[str]]] = None,
+    language_key: Optional[str] = "language_instruction",
+    action_proprio_normalization_type: T.NormalizationType = T.NormalizationType.BOUNDS_Q99,
+    dataset_statistics: Optional[Dict] = None,
+    absolute_action_mask: Optional[Sequence[bool]] = None,
+    absolute_proprio_mask: Optional[Sequence[bool]] = None,
+    action_normalization_mask: Optional[Sequence[bool]] = None,
+    proprio_normalization_mask: Optional[Sequence[bool]] = None,
     load_pointcloud: bool = True,
     load_tactile: bool = False,
-    dataset_statistics: Optional[Dict] = None,
-    stats_cache_dir: str = "~/.cache/mla_tpu",
+    load_all_data_for_training: bool = True,
+    num_parallel_reads: Optional[int] = None,
+    num_parallel_calls: Optional[int] = None,
+    stats_cache_dir: str = _DEFAULT_STATS_CACHE,
+    stats_sample_trajectories: Optional[int] = None,
     shard_by_host: bool = True,
-):
-    """Build one standardized trajectory dataset. Requires tensorflow_datasets
-    for the builder; everything downstream is plain tf.data."""
+    dataset_frame_transform_kwargs: Optional[Dict] = None,  # consumed upstream
+) -> Tuple[Any, Dict]:
+    """Build one standardized trajectory dataset. Requires
+    tensorflow_datasets for the builder; everything downstream is plain
+    tf.data. Key-map kwargs default to the OXE config matrix entry."""
     import tensorflow as tf
 
     try:
@@ -281,127 +166,278 @@ def make_dataset_from_rlds(
             "Install it on the host, or use the dummy data path."
         ) from e
 
-    cfg = OXE_DATASET_CONFIGS[name]
-    builder = tfds.builder(name, data_dir=data_dir)
-    split = "train" if train else "val"
-    ds = builder.as_dataset(split=split, shuffle_files=train, decoders={"steps": tfds.decode.SkipDecoding()})
+    cfg = OXE_DATASET_CONFIGS.get(name, {})
+    if standardize_fn is None:
+        standardize_fn = get_standardization_transform(name)
+    if image_obs_keys is None:
+        # default mode drops padded (None) views so the frame schema stays tight
+        image_obs_keys = {k: v for k, v in cfg.get("image_obs_keys", {}).items() if v is not None}
+    if depth_obs_keys is None:
+        depth_obs_keys = {}
+    if state_obs_keys is None:
+        state_obs_keys = cfg.get("state_obs_keys", [])
 
+    autotune = tf.data.AUTOTUNE
+    n_reads = autotune if num_parallel_reads in (None, -1) else num_parallel_reads
+    n_calls = autotune if num_parallel_calls in (None, -1) else num_parallel_calls
+
+    restructure = make_restructure_fn(
+        name, standardize_fn, image_obs_keys, depth_obs_keys, state_obs_keys,
+        language_key, load_pointcloud, load_tactile,
+        absolute_action_mask, absolute_proprio_mask,
+    )
+
+    builder = tfds.builder(name, data_dir=data_dir)
+
+    def episodes_to_trajs(ds):
+        def flatten_episode(episode):
+            steps = episode["steps"]
+            batched = tf.data.experimental.get_single_element(steps.batch(int(1e9)))
+            return restructure(dict(batched))
+
+        return ds.map(flatten_episode, num_parallel_calls=n_calls)
+
+    if dataset_statistics is None:
+        # full pass over ALL data (reference uses split="all"), hash-cached
+        # on builder info + state keys + the transform's source
+        stats_ds = episodes_to_trajs(
+            builder.as_dataset(split="train", shuffle_files=False,
+                               decoders={"steps": tfds.decode.SkipDecoding()})
+        )
+        dataset_statistics = T.get_dataset_statistics(
+            stats_ds,
+            cache_dir=Path(stats_cache_dir).expanduser(),
+            hash_dependencies=(
+                str(builder.info),
+                str(list(state_obs_keys)),
+                inspect.getsource(standardize_fn) if standardize_fn is not None else "",
+            ),
+            sample_trajectories=stats_sample_trajectories,
+        )
+    dataset_statistics = {
+        k: ({kk: np.asarray(vv) for kk, vv in v.items()} if isinstance(v, dict) else v)
+        for k, v in dataset_statistics.items()
+    }
+    if action_normalization_mask is not None:
+        dataset_statistics["action"]["mask"] = np.asarray(action_normalization_mask)
+    if proprio_normalization_mask is not None:
+        dataset_statistics["proprio"]["mask"] = np.asarray(proprio_normalization_mask)
+
+    if "val" not in builder.info.splits:
+        split = "train[:95%]" if train else "train[95%:]"
+    else:
+        split = "train" if train else "val"
+    if load_all_data_for_training and train:
+        split = "train"
+
+    ds = builder.as_dataset(split=split, shuffle_files=shuffle and train,
+                            decoders={"steps": tfds.decode.SkipDecoding()})
     if shard_by_host:
         import jax
 
         if jax.process_count() > 1:
             ds = ds.shard(jax.process_count(), jax.process_index())
 
-    from mla_tpu.vla.rlds.oxe_transforms import get_standardization_transform
-
-    standardize = get_standardization_transform(name)
-
-    def restructure(episode):
-        steps = episode["steps"]
-
-        def to_traj(batched):
-            obs = {}
-            for new_key, src in cfg["image_obs_keys"].items():
-                obs[f"image_{new_key}"] = batched["observation"][src]
-            if load_pointcloud:
-                for new_key, src in cfg["pointcloud_obs_keys"].items():
-                    obs[new_key] = batched["observation"][src]
-            if load_tactile:
-                for new_key, src in cfg["tactile_obs_keys"].items():
-                    obs[new_key] = batched["observation"][src]
-            if cfg["proprio_obs_key"] is not None:
-                obs["proprio"] = tf.cast(batched["observation"][cfg["proprio_obs_key"]], tf.float32)
-            else:
-                # datasets without proprio (e.g. roboturk) get zeros so the
-                # downstream schema stays fixed-shape
-                n = tf.shape(batched["action"])[0]
-                obs["proprio"] = tf.zeros([n, tf.shape(batched["action"])[-1]], tf.float32)
-            task = {"language_instruction": batched[cfg["language_key"]]}
-            return {
-                "observation": obs,
-                "task": task,
-                "action": tf.cast(batched["action"], tf.float32),
-                "dataset_name": tf.fill([tf.shape(batched["action"])[0]], name),
-            }
-
-        batched = tf.data.experimental.get_single_element(steps.batch(int(1e9)))
-        return to_traj(standardize(dict(batched)))
-
-    ds = ds.map(restructure, num_parallel_calls=tf.data.AUTOTUNE)
-
-    if dataset_statistics is None:
-        # one pass over (a sample of) the data to compute q01/q99 stats
-        def compute():
-            acts, props = [], []
-            for traj in ds.take(500).as_numpy_iterator():
-                acts.append(traj["action"].reshape(-1, traj["action"].shape[-1]))
-                props.append(traj["observation"]["proprio"].reshape(-1, traj["observation"]["proprio"].shape[-1]))
-            return T.compute_dataset_statistics(np.concatenate(acts), np.concatenate(props))
-
-        from pathlib import Path
-
-        dataset_statistics = T.cached_dataset_statistics(
-            Path(stats_cache_dir).expanduser(), f"{name}:{data_dir}", compute
-        )
-
-    norm_type = cfg["action_proprio_normalization_type"]
-    ds = ds.map(lambda traj: T.normalize_action_and_proprio(traj, dataset_statistics, norm_type),
-                num_parallel_calls=tf.data.AUTOTUNE)
+    ds = episodes_to_trajs(ds)
+    ds = ds.map(
+        partial(T.normalize_action_and_proprio, metadata=dataset_statistics,
+                normalization_type=action_proprio_normalization_type),
+        num_parallel_calls=n_calls,
+    )
     return ds, dataset_statistics
 
 
 def apply_trajectory_transforms(
     ds,
     *,
+    train: bool = True,
     window_size: int = 1,
     future_action_window_size: int = 15,
     skip_unlabeled: bool = True,
+    max_action: Optional[float] = None,
+    max_proprio: Optional[float] = None,
+    goal_relabeling_strategy: Optional[str] = None,
+    task_augment_strategy: Optional[str] = None,
+    task_augment_kwargs: Optional[Dict] = None,
     subsample_length: Optional[int] = None,
     dataset_statistics: Optional[Dict] = None,
-    train: bool = True,
+    num_parallel_calls: Optional[int] = None,
 ):
+    """Trajectory-level relabeling/chunking (reference dataset.py:294-393)."""
     import tensorflow as tf
+
+    n_calls = tf.data.AUTOTUNE if num_parallel_calls in (None, -1) else num_parallel_calls
 
     if skip_unlabeled:
         ds = ds.filter(lambda traj: tf.math.reduce_any(traj["task"]["language_instruction"] != ""))
+    if max_action is not None:
+        ds = ds.filter(lambda traj: tf.math.reduce_all(tf.math.abs(traj["action"]) <= max_action))
+    if max_proprio is not None:
+        ds = ds.filter(
+            lambda traj: tf.math.reduce_all(tf.math.abs(traj["observation"]["proprio"]) <= max_proprio)
+        )
+
+    ds = ds.map(T.add_pad_mask_dict, num_parallel_calls=n_calls)
+
+    if goal_relabeling_strategy is not None:
+        relabel = {"uniform": T.goal_relabel_uniform}[goal_relabeling_strategy]
+        ds = ds.map(relabel, num_parallel_calls=n_calls)
+    if train and task_augment_strategy is not None:
+        augment = {"delete_task_conditioning": T.delete_task_conditioning}[task_augment_strategy]
+        ds = ds.map(partial(augment, **(task_augment_kwargs or {})), num_parallel_calls=n_calls)
+
     ds = ds.map(
         lambda traj: T.chunk_act_obs(traj, window_size, future_action_window_size, dataset_statistics),
-        num_parallel_calls=tf.data.AUTOTUNE,
+        num_parallel_calls=n_calls,
     )
     if train and subsample_length is not None:
-        ds = ds.map(lambda traj: T.subsample(traj, subsample_length), num_parallel_calls=tf.data.AUTOTUNE)
+        ds = ds.map(lambda traj: T.subsample(traj, subsample_length), num_parallel_calls=n_calls)
     return ds
 
 
-def flatten_to_frames(ds):
+def flatten_to_frames(ds, num_parallel_calls: Optional[int] = None):
     import tensorflow as tf
 
+    del num_parallel_calls  # sequential flattening keeps frame order deterministic
     return ds.flat_map(tf.data.Dataset.from_tensor_slices)
 
 
-def apply_frame_transforms(ds, *, image_size: int = 672, train: bool = True, augment: bool = False):
+def apply_per_dataset_frame_transforms(ds, chunk_filter_fn: Optional[Callable] = None):
+    """Per-dataset frame-level hooks (reference dataset.py:396-407), e.g.
+    DROID's normalized-zero-action filter."""
+    if chunk_filter_fn is not None:
+        ds = ds.filter(chunk_filter_fn)
+    return ds
+
+
+# default train-time augmentation set (reference vla/datasets/datasets.py:248-262)
+DEFAULT_IMAGE_AUGMENT_KWARGS: Dict[str, Any] = {
+    "random_resized_crop": {"scale": [0.9, 0.9], "ratio": [1.0, 1.0]},
+    "random_brightness": [0.2],
+    "random_contrast": [0.8, 1.2],
+    "random_saturation": [0.8, 1.2],
+    "random_hue": [0.05],
+    "augment_order": [
+        "random_resized_crop", "random_brightness", "random_contrast",
+        "random_saturation", "random_hue",
+    ],
+}
+
+
+def apply_frame_transforms(
+    ds,
+    *,
+    image_size: int = 672,
+    resize_size: Optional[Dict[str, Tuple[int, int]]] = None,
+    train: bool = True,
+    augment: bool = False,
+    image_augment_kwargs: Optional[Dict] = None,
+    num_parallel_calls: Optional[int] = None,
+):
+    """Frame-level decode/resize/augment (reference dataset.py:411-468).
+
+    `resize_size` maps image-key suffixes to (h, w); unlisted keys use
+    `image_size` square. Augmentation kwargs follow the dlimp vocabulary
+    (per-key dict or one dict with `augment_order`), share one seed per
+    frame, and skip padding images.
+    """
     import tensorflow as tf
+
+    n_calls = tf.data.AUTOTUNE if num_parallel_calls in (None, -1) else num_parallel_calls
+    aug_kwargs = image_augment_kwargs if image_augment_kwargs is not None else (
+        DEFAULT_IMAGE_AUGMENT_KWARGS if augment else None
+    )
+
+    def _size_for(key: str) -> Tuple[int, int]:
+        if resize_size and key in resize_size:
+            return tuple(resize_size[key])
+        return (image_size, image_size)
+
+    def _kwargs_for(key: str) -> Optional[Dict]:
+        if aug_kwargs is None:
+            return None
+        if "augment_order" in aug_kwargs:
+            return aug_kwargs
+        return aug_kwargs.get(key)
 
     def fn(frame):
         obs = dict(frame["observation"])
-        for k in list(obs):
-            if k.startswith("image_"):
-                img = obs[k]
-                # chunked obs have a window axis; decode each
+        seed = tf.random.uniform([2], 0, 2**31 - 1, dtype=tf.int32)
+        pad_masks = obs.get("pad_mask_dict", {})
+        for i, k in enumerate(sorted(obs)):
+            if not k.startswith("image_"):
+                continue
+            size = _size_for(k[len("image_"):])
+            img = tf.map_fn(
+                lambda im: T.decode_and_resize_image(im, size[0]), obs[k],
+                fn_output_signature=tf.uint8,
+            )
+            kw = _kwargs_for(k[len("image_"):]) if train else None
+            if kw:
                 img = tf.map_fn(
-                    lambda im: T.decode_and_resize_image(im, image_size), img,
+                    lambda im: T.augment_image(im, seed + i, **kw), img,
                     fn_output_signature=tf.uint8,
                 )
-                if train and augment:
-                    seed = tf.random.uniform([2], 0, 2**31 - 1, dtype=tf.int32)
-                    img = tf.map_fn(
-                        lambda im: T.augment_image(im, seed), img, fn_output_signature=tf.uint8
-                    )
-                obs[k] = img
+                if k in pad_masks:
+                    # zero out augmented padding frames (window axis)
+                    mask = tf.reshape(tf.cast(pad_masks[k], img.dtype), [-1, 1, 1, 1])
+                    img = img * mask
+            obs[k] = img
         frame["observation"] = obs
         return frame
 
-    return ds.map(fn, num_parallel_calls=tf.data.AUTOTUNE)
+    return ds.map(fn, num_parallel_calls=n_calls)
+
+
+def _dataset_kwargs_for_mix(
+    data_mix: str,
+    data_dir: str,
+    *,
+    load_camera_views: Optional[Sequence[str]],
+    load_pointcloud: bool,
+    load_tactile: bool,
+) -> Tuple[List[Dict], List[float]]:
+    mixture = OXE_NAMED_MIXTURES.get(data_mix, [(data_mix, 1.0)])
+    if load_camera_views is None:
+        # whatever views each dataset actually has (padding-free default)
+        per_dataset_kwargs, weights = [], []
+        seen = set()
+        for ds_name, w in mixture:
+            if ds_name in seen:
+                overwatch.warning(f"Skipping duplicate dataset `{(ds_name, w)}`")
+                continue
+            seen.add(ds_name)
+            per_dataset_kwargs.append(
+                {"name": ds_name, "data_dir": data_dir,
+                 "load_pointcloud": load_pointcloud, "load_tactile": load_tactile}
+            )
+            weights.append(w)
+        return per_dataset_kwargs, weights
+    return get_oxe_dataset_kwargs_and_weights(
+        data_dir, mixture,
+        load_camera_views=load_camera_views,
+        load_pointcloud=load_pointcloud, load_tactile=load_tactile,
+        action_proprio_normalization_type=T.NormalizationType.BOUNDS_Q99,
+    )
+
+
+def compute_sample_weights(
+    raw_weights: Sequence[float], sizes: Sequence[int], balance: bool
+) -> Tuple[np.ndarray, int]:
+    """Normalized sampling weights + effective dataset length (reference
+    dataset.py:550-575). With `balance`, raw weights are multiplied by each
+    dataset's transition count before normalization. The effective length is
+    the expected number of samples until every *primary* dataset (raw
+    weight == 1.0) completes one epoch."""
+    weights = np.asarray(raw_weights, np.float64)
+    primary = np.nonzero(weights == 1.0)[0]
+    if balance:
+        weights = weights * np.asarray(sizes, np.float64)
+    weights = weights / weights.sum()
+    if primary.size == 0:
+        primary = np.arange(len(weights))
+    dataset_len = int((np.asarray(sizes, np.float64) / weights)[primary].max())
+    return weights, dataset_len
 
 
 def make_interleaved_dataset(
@@ -412,43 +448,100 @@ def make_interleaved_dataset(
     shuffle_buffer_size: int = 10_000,
     window_size: int = 1,
     future_action_window_size: int = 15,
+    load_camera_views: Optional[Sequence[str]] = None,
     load_pointcloud: bool = True,
     load_tactile: bool = False,
     image_size: int = 672,
+    resize_size: Optional[Dict[str, Tuple[int, int]]] = None,
     augment: bool = False,
+    image_augment_kwargs: Optional[Dict] = None,
+    balance_weights: bool = True,
+    goal_relabeling_strategy: Optional[str] = None,
+    task_augment_strategy: Optional[str] = None,
+    task_augment_kwargs: Optional[Dict] = None,
+    subsample_length: Optional[int] = None,
+    max_action: Optional[float] = None,
+    max_proprio: Optional[float] = None,
+    traj_transform_threads: Optional[int] = None,
+    traj_read_threads: Optional[int] = None,
+    stats_sample_trajectories: Optional[int] = None,
     seed: int = 0,
-):
-    """Weighted interleave of the mixture's datasets -> frame stream
-    (reference make_interleaved_dataset, dataset.py:499-635)."""
+) -> Tuple[Any, int, Dict]:
+    """Weighted frame-level interleave of the mixture's datasets
+    (reference make_interleaved_dataset, dataset.py:499-635). Returns
+    (dataset, effective_length, per-dataset statistics).
+
+    With `balance_weights` (the reference training default) each dataset's
+    raw mixture weight is multiplied by its transition count before
+    normalization, so equal weights mean one epoch of each dataset per
+    epoch of the mixture in expectation."""
     import tensorflow as tf
 
-    mixture = OXE_NAMED_MIXTURES[data_mix]
-    weights = np.asarray([w for _, w in mixture], np.float32)
-    weights = weights / weights.sum()
+    per_dataset_kwargs, raw_weights = _dataset_kwargs_for_mix(
+        data_mix, data_dir,
+        load_camera_views=load_camera_views,
+        load_pointcloud=load_pointcloud, load_tactile=load_tactile,
+    )
+    if not per_dataset_kwargs:
+        raise ValueError(f"Mixture `{data_mix}` resolved to zero loadable datasets")
 
-    datasets, all_stats = [], {}
-    for ds_name, _ in mixture:
+    # pass 1: statistics (cached) -> dataset sizes for balancing
+    all_stats: Dict[str, Dict] = {}
+    sizes = []
+    for kwargs in per_dataset_kwargs:
+        clean = {k: v for k, v in kwargs.items() if k != "dataset_frame_transform_kwargs"}
+        _, stats = make_dataset_from_rlds(
+            **clean, train=train, stats_sample_trajectories=stats_sample_trajectories,
+        )
+        all_stats[kwargs["name"]] = stats
+        sizes.append(int(stats["num_transitions"]))
+
+    weights, dataset_len = compute_sample_weights(raw_weights, sizes, balance_weights)
+
+    threads_per = T.allocate_threads(traj_transform_threads, np.array(weights))
+    reads_per = T.allocate_threads(traj_read_threads, np.array(weights))
+
+    datasets = []
+    for kwargs, n_threads, n_reads in zip(per_dataset_kwargs, threads_per, reads_per):
+        frame_kwargs = kwargs.get("dataset_frame_transform_kwargs", {})
+        clean = {k: v for k, v in kwargs.items() if k != "dataset_frame_transform_kwargs"}
         ds, stats = make_dataset_from_rlds(
-            ds_name, data_dir, train=train,
-            load_pointcloud=load_pointcloud, load_tactile=load_tactile,
+            **clean, train=train,
+            dataset_statistics=all_stats[kwargs["name"]],
+            num_parallel_calls=int(n_threads), num_parallel_reads=int(n_reads),
         )
-        all_stats[ds_name] = stats
         ds = apply_trajectory_transforms(
-            ds, window_size=window_size, future_action_window_size=future_action_window_size,
-            dataset_statistics=stats, train=train,
+            ds.repeat() if train else ds,
+            train=train,
+            window_size=window_size,
+            future_action_window_size=future_action_window_size,
+            goal_relabeling_strategy=goal_relabeling_strategy,
+            task_augment_strategy=task_augment_strategy,
+            task_augment_kwargs=task_augment_kwargs,
+            subsample_length=subsample_length,
+            max_action=max_action, max_proprio=max_proprio,
+            dataset_statistics=stats,
+            num_parallel_calls=int(n_threads),
         )
-        ds = flatten_to_frames(ds)
-        datasets.append(ds.repeat() if train else ds)
+        ds = flatten_to_frames(ds, num_parallel_calls=int(n_threads))
+        ds = apply_per_dataset_frame_transforms(ds, **frame_kwargs)
+        datasets.append(ds)
 
     if len(datasets) == 1:
         ds = datasets[0]
     else:
         ds = tf.data.Dataset.sample_from_datasets(datasets, weights.tolist(), seed=seed)
-    if train:
-        ds = ds.shuffle(shuffle_buffer_size, seed=seed)
-    ds = apply_frame_transforms(ds, image_size=image_size, train=train, augment=augment)
+
+    if not train:
+        # fix one buffer of validation data and cache it (reference :607-609)
+        ds = ds.take(shuffle_buffer_size).cache()
+    ds = ds.shuffle(shuffle_buffer_size, seed=seed)
+    ds = apply_frame_transforms(
+        ds, image_size=image_size, resize_size=resize_size, train=train,
+        augment=augment, image_augment_kwargs=image_augment_kwargs,
+    )
     ds = ds.prefetch(tf.data.AUTOTUNE)
-    return ds, all_stats
+    return ds, dataset_len, all_stats
 
 
 class RLDSDataset:
@@ -459,17 +552,23 @@ class RLDSDataset:
     def __init__(self, data_root_dir: str, data_mix: str, *, train: bool = True,
                  shuffle_buffer_size: int = 10_000, future_action_window_size: int = 15,
                  load_pointcloud: bool = True, load_tactile: bool = False,
-                 image_size: int = 672, augment: bool = False, seed: int = 0) -> None:
-        self.dataset, self.dataset_statistics = make_interleaved_dataset(
+                 image_size: int = 672, augment: bool = False, seed: int = 0,
+                 balance_weights: bool = True,
+                 load_camera_views: Optional[Sequence[str]] = None) -> None:
+        self.dataset, self.dataset_length, self.dataset_statistics = make_interleaved_dataset(
             data_mix, data_root_dir, train=train,
             shuffle_buffer_size=shuffle_buffer_size,
             future_action_window_size=future_action_window_size,
             load_pointcloud=load_pointcloud, load_tactile=load_tactile,
             image_size=image_size, augment=augment, seed=seed,
+            balance_weights=balance_weights, load_camera_views=load_camera_views,
         )
 
     def __iter__(self):
         return self.dataset.as_numpy_iterator()
+
+    def __len__(self) -> int:
+        return self.dataset_length
 
 
 class EpisodicRLDSDataset:

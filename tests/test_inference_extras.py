@@ -111,6 +111,11 @@ def test_predict_action_diff_ar(policy):
     assert out["actions"].shape == (policy.cfg.action_horizon, policy.cfg.action_dim)
     assert out["ar_actions"].shape == (policy.cfg.action_dim,)
     assert len(out["timings"]) == 2 and all(t > 0 for t in out["timings"])
+    # AR confidences: one valid probability per decoded action token
+    # (reference model_mla.py:901-907)
+    probs = out["ar_max_probs"]
+    assert len(probs) == policy.cfg.action_dim
+    assert all(0.0 < p <= 1.0 for p in probs)
 
 
 def test_predict_action_batch_with_dit(policy):

@@ -67,9 +67,12 @@ def test_sampled_decode_runs():
     params, state = tiny_model(cfg)
     prefix = jax.random.normal(jax.random.PRNGKey(0), (1, 8, cfg.token_size))
     kv, logits = mla_mod.prefill(params, cfg, prefix, 24)
-    toks = mla_mod.greedy_decode_actions(
+    toks, probs = mla_mod.greedy_decode_actions(
         params, cfg, kv, 8, logits, 4, temperature=1.0, top_k=5, key=jax.random.PRNGKey(1)
     )
     assert toks.shape == (1, 4)
-    greedy = mla_mod.greedy_decode_actions(params, cfg, kv, 8, logits, 4)
+    greedy, gprobs = mla_mod.greedy_decode_actions(params, cfg, kv, 8, logits, 4)
     assert greedy.shape == (1, 4)
+    # confidences are valid probabilities and, for greedy, the max softmax
+    assert gprobs.shape == (1, 4)
+    assert ((gprobs > 0) & (gprobs <= 1)).all()

@@ -88,3 +88,46 @@ def test_phi_composed_model_forward():
     out, _ = prismatic.vlm_forward(params, state, cfg, batch, training=False, use_diff=True)
     assert out["noise_pred"].shape == (1, 16, 7)
     assert np.isfinite(np.asarray(out["noise_pred"], np.float32)).all()
+
+
+def test_phi_and_mistral_registry_presets():
+    """`mla-phi` / `mla-mistral` are selectable composed-model presets
+    (reference models/backbones/llm/{mistral,phi}.py + model registry)."""
+    from mla_tpu.conf.models import get_model_config
+
+    cfg_phi = get_model_config("mla-phi")
+    assert cfg_phi.llm_family == "phi"
+    assert cfg_phi.token_size == 2560
+    assert cfg_phi.gen.token_size == 2560
+
+    cfg_mis = get_model_config("mla-mistral")
+    assert cfg_mis.llm_family == "llama"
+    assert cfg_mis.llama.num_kv_heads == 8
+    assert cfg_mis.llama.intermediate_size == 14336
+
+
+def test_convert_phi_with_prefix_and_vocab_pad(small):
+    """convert_phi: composed-checkpoint prefix + mean-padded vocab resize."""
+    import torch
+
+    from mla_tpu.models.convert import convert_phi
+
+    cfg, params_ref = small
+    # synthesize an HF-style state dict with the composed `llm.` prefix
+    hf = pytest.importorskip("transformers")
+    config = hf.PhiConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads, num_key_value_heads=cfg.num_heads,
+        partial_rotary_factor=cfg.partial_rotary_factor,
+    )
+    torch.manual_seed(0)
+    model = hf.PhiForCausalLM(config)
+    sd = {f"llm.{k}": v for k, v in model.state_dict().items()}
+    out = convert_phi(sd, cfg.num_layers, prefix="llm.", target_vocab=cfg.vocab_size + 8)
+    assert out["embed"]["table"].shape[0] == cfg.vocab_size + 8
+    assert out["lm_head"]["w"].shape[1] == cfg.vocab_size + 8
+    # padded rows are the mean of the original embedding rows
+    np.testing.assert_allclose(
+        out["embed"]["table"][-1], out["embed"]["table"][: cfg.vocab_size].mean(0), rtol=1e-5
+    )

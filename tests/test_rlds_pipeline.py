@@ -99,75 +99,178 @@ def test_interleave_weights():
     assert 0.6 < frac_a < 0.95
 
 
-def test_oxe_standardization_transforms():
-    from mla_tpu.vla.rlds.oxe_transforms import (
-        bridge_transform,
-        get_standardization_transform,
-        rt1_transform,
-        taco_play_transform,
-    )
-
-    act = tf.constant(
-        np.concatenate([np.zeros((5, 6), np.float32),
-                        np.array([[1.0], [0.98], [0.5], [0.02], [0.01]], np.float32)], axis=1)
-    )
-    out = bridge_transform({"action": act})["action"].numpy()
-    np.testing.assert_allclose(out[:, 6], [1, 1, 0, 0, 0])
-
-    rel = tf.constant(
-        np.concatenate([np.zeros((5, 6), np.float32),
-                        np.array([[0.0], [1.0], [0.0], [-1.0], [0.0]], np.float32)], axis=1)
-    )
-    out = rt1_transform({"action": rel})["action"].numpy()
-    np.testing.assert_allclose(out[:, 6], [1, 0, 0, 1, 1])
-
-    pm = tf.constant(
-        np.concatenate([np.zeros((2, 6), np.float32), np.array([[-1.0], [1.0]], np.float32)], axis=1)
-    )
-    out = taco_play_transform({"action": pm})["action"].numpy()
-    np.testing.assert_allclose(out[:, 6], [0, 1])
-
-    assert get_standardization_transform("unknown_dataset")({"action": act})["action"] is act
-
-
-def test_oxe_configs_registered():
-    from mla_tpu.vla.rlds.dataset import OXE_DATASET_CONFIGS, OXE_NAMED_MIXTURES
-
-    assert "bridge_orig" in OXE_DATASET_CONFIGS
-    assert "oxe_magic_soup" in OXE_NAMED_MIXTURES
-    for name, _w in OXE_NAMED_MIXTURES["oxe_magic_soup"]:
-        assert name in OXE_DATASET_CONFIGS, name
-
-
 def test_oxe_full_matrix_consistency():
     """Full OXE matrix: every mixture member has a dataset config, every
     config has a standardization transform, configs are well-formed
-    (reference oxe/configs.py x oxe/transforms.py x oxe/mixtures.py)."""
+    (reference oxe/configs.py x oxe/transforms.py x oxe/mixtures.py).
+    Detailed value-for-value parity vs the reference files lives in
+    tests/test_oxe_standardization.py."""
     from mla_tpu.vla.rlds.dataset import OXE_DATASET_CONFIGS, OXE_NAMED_MIXTURES
     from mla_tpu.vla.rlds.oxe_transforms import OXE_STANDARDIZATION_TRANSFORMS
 
-    assert len(OXE_DATASET_CONFIGS) >= 70
+    assert len(OXE_DATASET_CONFIGS) >= 72
     for mix, members in OXE_NAMED_MIXTURES.items():
         for name, w in members:
             assert name in OXE_DATASET_CONFIGS, f"{mix}: {name}"
             assert w > 0
     for name, cfg in OXE_DATASET_CONFIGS.items():
         assert name in OXE_STANDARDIZATION_TRANSFORMS, name
-        assert "image_obs_keys" in cfg and "proprio_obs_key" in cfg
-        assert None not in cfg["image_obs_keys"].values(), name
+        assert "image_obs_keys" in cfg and "state_obs_keys" in cfg
     # the reference's headline mixtures are present weight-for-weight
     plus = dict(OXE_NAMED_MIXTURES["oxe_magic_soup_plus"])
     assert plus["fractal20220817_data"] == 0.54087122203
     assert plus["droid"] == 0.06 and plus["bc_z"] == 0.2
+    assert plus["language_table"] == 0.1
     minus = dict(OXE_NAMED_MIXTURES["oxe_magic_soup_plus_minus"])
     assert minus["fractal20220817_data"] == 1.0 and "droid" not in minus
+    assert "language_table" not in minus
+    # rtx_franka keeps the reference's duplicate entries
+    rtx_franka = OXE_NAMED_MIXTURES["rtx_franka"]
+    assert [w for n, w in rtx_franka if n == "taco_play"] == [2.0, 1.0]
 
 
-def test_invert_transform_convention():
-    import tensorflow as tf
+def test_gripper_convention_helpers():
+    from mla_tpu.vla.rlds.transforms import (
+        binarize_gripper_actions,
+        invert_gripper_actions,
+        rel2abs_gripper_actions,
+    )
 
-    from mla_tpu.vla.rlds.oxe_transforms import invert_transform
+    cont = tf.constant([1.0, 0.98, 0.5, 0.02, 0.01])
+    np.testing.assert_allclose(binarize_gripper_actions(cont).numpy(), [1, 1, 0, 0, 0])
 
-    act = tf.constant([[0, 0, 0, 0, 0, 0, 1.0], [0, 0, 0, 0, 0, 0, 0.0]])
-    out = invert_transform({"action": act})["action"].numpy()
-    assert out[0, -1] == 0.0 and out[1, -1] == 1.0
+    rel = tf.constant([0.0, 1.0, 0.0, -1.0, 0.0])
+    np.testing.assert_allclose(rel2abs_gripper_actions(rel).numpy(), [1, 0, 0, 1, 1])
+
+    np.testing.assert_allclose(
+        invert_gripper_actions(tf.constant([1.0, 0.0])).numpy(), [0.0, 1.0]
+    )
+
+
+def test_full_pass_statistics_and_cache(tmp_path):
+    """Full-pass stats match a brute-force pass and are cache-hit on re-run
+    (reference data_utils.get_dataset_statistics, :185-273)."""
+    from mla_tpu.vla.rlds.transforms import get_dataset_statistics
+
+    rng = np.random.default_rng(3)
+    trajs = [
+        {"action": rng.normal(size=(n, 7)).astype(np.float32),
+         "observation": {"proprio": rng.normal(size=(n, 8)).astype(np.float32)}}
+        for n in (5, 9, 13)
+    ]
+
+    def gen():
+        yield from trajs
+
+    sig = {"action": tf.TensorSpec((None, 7), tf.float32),
+           "observation": {"proprio": tf.TensorSpec((None, 8), tf.float32)}}
+    ds = tf.data.Dataset.from_generator(gen, output_signature=sig)
+
+    stats = get_dataset_statistics(ds, tmp_path, hash_dependencies=("unit", "test"))
+    all_acts = np.concatenate([t["action"] for t in trajs])
+    np.testing.assert_allclose(stats["action"]["q01"], np.quantile(all_acts, 0.01, axis=0), rtol=1e-6)
+    np.testing.assert_allclose(stats["action"]["q99"], np.quantile(all_acts, 0.99, axis=0), rtol=1e-6)
+    np.testing.assert_allclose(stats["action"]["mean"], all_acts.mean(0), rtol=1e-5)
+    assert stats["num_transitions"] == 27 and stats["num_trajectories"] == 3
+
+    # cache hit: poison the dataset; cached stats must come back unchanged
+    empty = tf.data.Dataset.from_generator(lambda: iter(()), output_signature=sig)
+    again = get_dataset_statistics(empty, tmp_path, hash_dependencies=("unit", "test"))
+    assert again["action"]["q99"] == stats["action"]["q99"]
+    # different hash deps -> different cache entry (recompute happens)
+    sampled = get_dataset_statistics(ds, tmp_path, hash_dependencies=("unit", "test"),
+                                     sample_trajectories=1)
+    assert sampled["num_transitions"] == 5
+
+
+def test_balance_weights_math():
+    from mla_tpu.vla.rlds.dataset import compute_sample_weights
+
+    # balanced: weights scale with dataset size
+    w, length = compute_sample_weights([1.0, 1.0], [1000, 9000], balance=True)
+    np.testing.assert_allclose(w, [0.1, 0.9])
+    assert length == 10000  # one epoch of each primary dataset in expectation
+    # unbalanced: raw weights only
+    w2, _ = compute_sample_weights([3.0, 1.0], [1000, 9000], balance=False)
+    np.testing.assert_allclose(w2, [0.75, 0.25])
+    # non-1.0 weights: fall back to all datasets for the epoch bound
+    _, l3 = compute_sample_weights([2.0, 0.5], [100, 100], balance=False)
+    assert l3 == 500
+
+
+def test_allocate_threads():
+    from mla_tpu.vla.rlds.transforms import allocate_threads
+
+    alloc = allocate_threads(10, np.array([0.5, 0.3, 0.1, 0.05, 0.05]))
+    assert alloc.sum() == 10 and (alloc >= 1).all()
+    assert alloc[0] >= alloc[1] >= alloc[2]
+    np.testing.assert_array_equal(allocate_threads(None, np.array([1.0, 1.0])), [-1, -1])
+
+
+def test_goal_relabel_uniform_future_only():
+    from mla_tpu.vla.rlds.transforms import add_pad_mask_dict, goal_relabel_uniform
+
+    n = 12
+    traj = {
+        "observation": {"image_primary": tf.range(n), "timestep": tf.range(n)},
+        "task": {"language_instruction": tf.constant([b"x"] * n)},
+        "action": tf.zeros([n, 7]),
+    }
+    traj = add_pad_mask_dict(traj)
+    tf.random.set_seed(0)
+    out = goal_relabel_uniform(traj)
+    goals = out["task"]["image_primary"].numpy()
+    idx = np.arange(n)
+    assert (goals >= np.minimum(idx + 1, n - 1)).all() and (goals <= n - 1).all()
+    assert "timestep" in out["task"]
+
+
+def test_delete_task_conditioning_drops_one_modality():
+    from mla_tpu.vla.rlds.transforms import (
+        add_pad_mask_dict,
+        delete_task_conditioning,
+        goal_relabel_uniform,
+    )
+
+    n = 64
+    traj = {
+        "observation": {"image_primary": tf.constant([b"img"] * n), "timestep": tf.range(n)},
+        "task": {"language_instruction": tf.constant([b"do it"] * n)},
+        "action": tf.zeros([n, 7]),
+    }
+    traj = add_pad_mask_dict(traj)
+    traj = goal_relabel_uniform(traj)
+    tf.random.set_seed(1)
+    out = delete_task_conditioning(dict(traj), keep_image_prob=0.5)
+    lang = out["task"]["language_instruction"].numpy()
+    img = out["task"]["image_primary"].numpy()
+    kept_lang = lang != b""
+    kept_img = img != b""
+    # exactly one modality survives per frame
+    assert (kept_lang ^ kept_img).all()
+    assert kept_lang.any() and kept_img.any()
+    # pad masks follow the deletion
+    np.testing.assert_array_equal(out["task"]["pad_mask_dict"]["language_instruction"].numpy(), kept_lang)
+    # frames that dropped images move the goal timestep to the end
+    ts = out["task"]["timestep"].numpy()
+    assert (ts[~kept_img] == n - 1).all()
+
+
+def test_augment_image_full_kwargs_deterministic():
+    from mla_tpu.vla.rlds.dataset import DEFAULT_IMAGE_AUGMENT_KWARGS
+    from mla_tpu.vla.rlds.transforms import augment_image
+
+    img = tf.constant(np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8))
+    a = augment_image(img, seed=[3, 4], **DEFAULT_IMAGE_AUGMENT_KWARGS).numpy()
+    b = augment_image(img, seed=[3, 4], **DEFAULT_IMAGE_AUGMENT_KWARGS).numpy()
+    c = augment_image(img, seed=[5, 6], **DEFAULT_IMAGE_AUGMENT_KWARGS).numpy()
+    assert a.shape == (32, 32, 3) and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)  # same seed -> same augmentation
+    assert (a != c).any()
+
+
+def test_frame_transforms_pad_image_decodes_to_zeros():
+    from mla_tpu.vla.rlds.transforms import decode_and_resize_image
+
+    out = decode_and_resize_image(tf.constant("", tf.string), (16, 16)).numpy()
+    assert out.shape == (16, 16, 3) and (out == 0).all()
