@@ -51,8 +51,12 @@ def build_policy(model_id: str):
     from mla_tpu.conf.models import get_model_config
     from mla_tpu.models import mla as mla_mod
 
-    quantize = model_id.endswith("-int8")
-    base_id = model_id[: -len("-int8")] if quantize else model_id
+    quantize = None
+    base_id = model_id
+    for suffix in ("-int8", "-int4"):
+        if model_id.endswith(suffix):
+            quantize = suffix[1:]
+            base_id = model_id[: -len(suffix)]
     cfg = get_model_config(base_id, use_contrastive=False)
     if quantize:
         # build the QUANTIZED tree directly from shapes — quantizing real
@@ -60,12 +64,13 @@ def build_policy(model_id: str):
         import jax.numpy as jnp
 
         from mla_tpu.models import prismatic
-        from mla_tpu.ops.quantization import quantize_model
+        from mla_tpu.ops.quantization import quantize_model, quantize_model_int4
 
+        qfn = quantize_model if quantize == "int8" else quantize_model_int4
         shapes = jax.eval_shape(
             lambda k: prismatic.mla_model_init(k, cfg), jax.random.PRNGKey(0)
         )
-        q_shapes = jax.eval_shape(quantize_model, shapes[0])
+        q_shapes = jax.eval_shape(qfn, shapes[0])
         params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), q_shapes)
         # unit scales so dequant produces finite (zero) weights
         params["llm_backbone"] = jax.tree_util.tree_map_with_path(

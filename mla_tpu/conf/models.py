@@ -113,6 +113,37 @@ def mla_tiny(**kw) -> prismatic.MLAModelConfig:
     )
 
 
+def mla_golden(
+    use_diff: bool = True,
+    use_pointcloud: bool = False,
+    use_tactile: bool = False,
+    use_contrastive: bool = False,
+    use_generation: bool = False,
+    use_roi: bool = False,
+    camera_name: str = "rlbench_front",
+    **kw,
+) -> prismatic.MLAModelConfig:
+    """Reduced-LLM config matching tests/ref_harness.build_reference_mla
+    (hidden 512, 4 layers, full-width 1024-d vision tokenizer): the
+    end-to-end golden-parity checkpoint (tests/test_golden_e2e.py). bf16
+    params/compute — the reference path hard-casts diffusion inputs to bf16
+    (models/vlm/prismatic.py:873-881), so parity mode is bf16 end-to-end."""
+    llama_cfg = llama_mod.LlamaConfig(
+        vocab_size=32064, hidden_size=512, intermediate_size=1376, num_layers=4,
+        num_heads=8, num_kv_heads=8, max_position_embeddings=2048,
+        contrastive_layer=2, param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+    )
+    return prismatic.MLAModelConfig(
+        llama=llama_cfg,
+        vision=vt_mod.VisionTokenizerConfig(),
+        point=pt_mod.PointTokenizerConfig(),
+        gen=_gen_cfg(512, use_generation, use_tactile, use_roi),
+        use_diff=use_diff, use_pointcloud=use_pointcloud, use_tactile=use_tactile,
+        use_contrastive=use_contrastive, use_generation=use_generation,
+        use_roi=use_roi, camera_name=camera_name, **kw,
+    )
+
+
 def mla_mistral(
     use_diff: bool = True,
     use_pointcloud: bool = True,
@@ -178,6 +209,7 @@ MODEL_REGISTRY: Dict[str, Callable[..., prismatic.MLAModelConfig]] = {
     "mla-2b": mla_2b,
     "mla-small": mla_small,
     "mla-tiny": mla_tiny,
+    "mla-golden": mla_golden,
     "mla-mistral": mla_mistral,
     "mla-phi": mla_phi,
 }

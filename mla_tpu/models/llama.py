@@ -325,7 +325,9 @@ def llama_forward(
         # fp32 logits, reference modeling_llama.py:1256
         head = params["lm_head"]
         hf = out["last_hidden"].astype(jnp.float32)
-        if "w_q" in head:
+        if "w_q4" in head:
+            out["logits"] = nn.linear(head, hf)
+        elif "w_q" in head:
             # scale after the dot (see nn.linear) so the int8 read fuses
             out["logits"] = (hf @ head["w_q"].astype(jnp.float32)) * head["w_scale"][0].astype(jnp.float32)
         else:
@@ -373,6 +375,13 @@ def fuse_for_serving(params: Dict[str, Any]) -> Dict[str, Any]:
     def cat(leaves, axis=-1):
         if "w" in leaves[0]:
             return {"w": jnp.concatenate([l["w"] for l in leaves], axis=axis)}
+        if "w_q4" in leaves[0]:
+            # nibble pairs live within one matrix's out-dim (even width), so
+            # out-dim concat of packed arrays is direct
+            return {
+                "w_q4": jnp.concatenate([l["w_q4"] for l in leaves], axis=axis),
+                "w_scale4": jnp.concatenate([l["w_scale4"] for l in leaves], axis=axis),
+            }
         return {
             "w_q": jnp.concatenate([l["w_q"] for l in leaves], axis=axis),
             "w_scale": jnp.concatenate([l["w_scale"] for l in leaves], axis=axis),

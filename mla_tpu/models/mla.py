@@ -504,9 +504,12 @@ class MLAPolicy:
         cfg_scale: float = 0.0,
         seed: int = 0,
         input_ids: Optional[np.ndarray] = None,
+        noise: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Reference predict_action_diff (model_mla.py:592-775): DDIM-8
-        denoise of a [horizon, action_dim] chunk, q01/q99 unnormalized."""
+        denoise of a [horizon, action_dim] chunk, q01/q99 unnormalized.
+        `noise` overrides the seed-derived initial x_T (golden-parity runs
+        replay the reference's recorded torch.randn draw)."""
         cfg = self.cfg
         if input_ids is None:
             input_ids = build_prompt_ids(self.tokenizer, instruction, mode="diff")
@@ -528,9 +531,14 @@ class MLAPolicy:
 
         root_key = jax.random.PRNGKey(seed)
         noise_key, sample_key = jax.random.split(root_key)
-        noise = jax.random.normal(
-            noise_key, (1, cfg.action_horizon, cfg.action_dim), jnp.float32
-        )
+        if noise is None:
+            noise = jax.random.normal(
+                noise_key, (1, cfg.action_horizon, cfg.action_dim), jnp.float32
+            )
+        else:
+            noise = jnp.asarray(noise, jnp.float32).reshape(
+                1, cfg.action_horizon, cfg.action_dim
+            )
         fn = self._diff_fn(
             int(prefix_ids.shape[1]), 1, use_ddpm=not use_ddim, cfg_scale=cfg_scale
         )

@@ -93,6 +93,14 @@ def linear_init(
 
 
 def linear(p: Params, x):
+    if "w_q4" in p:
+        # int4 weight-only leaf (ops/quantization.quantize_weight_int4):
+        # W8A8-style activation quant + native int8 x int4 MXU dot with
+        # group-scale rescale — HBM reads the nibble bytes only. The
+        # int8-arithmetic unpack path serves as the CPU/master yardstick.
+        from mla_tpu.ops.quantization import int4_linear
+
+        return int4_linear(p, x, native=jax.default_backend() == "tpu")
     if "w_q" in p:
         # int8-quantized leaf (ops/quantization.py). Execution modes
         # (MLA_INT8_MODE env, default "w8a8" on TPU, "dequant" elsewhere):

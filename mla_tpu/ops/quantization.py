@@ -105,6 +105,147 @@ def quantize_model_host(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 # --------------------------------------------------------------------------- #
+# int4 weight-only quantization (W4A8 serving)
+# --------------------------------------------------------------------------- #
+#
+# Nibble-packed int4 weights halve the HBM read bytes again vs int8 — the
+# serving suffix-denoise steps are weight-bandwidth-bound (docs/kernels.md
+# phase split), so this directly buys latency. Two environment quirks shape
+# the representation:
+#   * jnp.int4 arrays cannot cross this box's host->device transfer layer,
+#     so weights are STORED as packed int8 [K/2, N] (two nibbles per byte)
+#     and bitcast to int4 inside the consuming jit program;
+#   * XLA TPU consumes the int4 operand natively in `dot_general` — measured
+#     2.7x faster than the int8 dot at decode shapes (nibble reads only, no
+#     materialized unpack) — so no Pallas kernel is needed (the remote
+#     compile service also rejects Pallas calls inside 7B programs).
+#
+# Packing layout matches `bitcast_convert_type(int8 -> int4)` followed by
+# swapaxes+reshape: byte[i, n] = (w[2i, n] & 0xF) | (w[2i+1, n] << 4), i.e.
+# the LOW nibble is the even row. Scales are per-(group, out-channel) with
+# `group_size` rows per group (int4 per-channel-only is too lossy; group-128
+# is the standard operating point).
+
+
+def pack_int4(q) -> jnp.ndarray:
+    """[..., K, N] int4-valued array -> packed int8 [..., K, N/2].
+
+    Packing runs along the OUT dim (adjacent output channels share a byte,
+    even channel in the low nibble): `bitcast_convert_type(int8 -> int4)`
+    appends the nibble pair as a minor-most axis, so unpacking is bitcast +
+    a layout-preserving reshape — no transpose. (Packing along K needs a
+    transpose whose s4 materialization XLA lowers to a slow VPU loop —
+    measured ~0.8 ms/matmul, 20x the read floor.)"""
+    lo = q[..., :, 0::2].astype(jnp.uint8) & 0xF
+    hi = q[..., :, 1::2].astype(jnp.uint8) & 0xF
+    return jax.lax.bitcast_convert_type((hi << 4) | lo, jnp.int8)
+
+
+def unpack_int4_reference(packed) -> jnp.ndarray:
+    """int8-arithmetic unpack (no int4 dtype) — the master/CPU path and the
+    numerics yardstick for the native-int4 dot. Arithmetic shifts recover the
+    signed nibbles: low = (b << 4) >> 4, high = b >> 4."""
+    b = packed.astype(jnp.int8)
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(b, jnp.int8(4)), jnp.int8(4))
+    hi = jax.lax.shift_right_arithmetic(b, jnp.int8(4))
+    return jnp.stack([lo, hi], axis=-1).reshape(packed.shape[:-1] + (2 * packed.shape[-1],))
+
+
+def unpack_int4_native(packed) -> jnp.ndarray:
+    """Packed int8 [..., K, N/2] -> int4 [..., K, N] via bitcast + free
+    reshape; the consuming dot reads nibble bytes straight from HBM."""
+    w4 = jax.lax.bitcast_convert_type(packed, jnp.int4)  # [..., K, N/2, 2]
+    return w4.reshape(packed.shape[:-1] + (2 * packed.shape[-1],))
+
+
+def quantize_weight_int4(w, group_size: int = 128):
+    """Symmetric int4 with per-(group, out-channel) scales over the `in` dim.
+    Returns {'w_q4': int8 packed [..., K, N/2], 'w_scale4': f32 [..., K/gs, N]}.
+    jnp-traceable (usable under eval_shape); leading dims are batch (stacked
+    layers)."""
+    wf = jnp.asarray(w, jnp.float32)
+    K, N = wf.shape[-2:]
+    lead = wf.shape[:-2]
+    gs = group_size if group_size else K
+    assert K % gs == 0 and N % 2 == 0, (K, gs, N)
+    g = wf.reshape(lead + (K // gs, gs, N))
+    amax = jnp.abs(g).max(axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(g / scale), -7, 7).astype(jnp.int8).reshape(lead + (K, N))
+    return {"w_q4": pack_int4(q), "w_scale4": scale[..., 0, :].astype(jnp.float32)}
+
+
+def dequantize_weight_int4(p, dtype=jnp.bfloat16) -> jnp.ndarray:
+    q = unpack_int4_reference(p["w_q4"])
+    K, N = q.shape
+    G = p["w_scale4"].shape[0]
+    w = q.astype(jnp.float32).reshape(G, K // G, N) * p["w_scale4"][:, None, :]
+    return w.reshape(K, N).astype(dtype)
+
+
+def int4_linear(p: Dict[str, Any], x: jnp.ndarray, *, native: bool = True) -> jnp.ndarray:
+    """x @ dequant(w4) with W8A8-style per-token activation quantization and
+    the group-scale rescale applied on int32 partial sums. `native=False`
+    uses the int8-arithmetic unpack (CPU tests / numerics yardstick)."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    xf = x.reshape(-1, K).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+
+    w = unpack_int4_native(p["w_q4"]) if native else unpack_int4_reference(p["w_q4"])
+    scales = p["w_scale4"]  # [G, N]
+    G = scales.shape[0]
+    N = w.shape[1]
+    if G == 1:
+        acc = jax.lax.dot_general(
+            xq, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        y = acc.astype(jnp.float32) * sx * scales[0]
+    else:
+        gs = K // G
+        xg = xq.reshape(-1, G, gs)
+        wg = w.reshape(G, gs, N)
+        # batched-over-groups int8 x int4 dot -> [G, M, N] int32 partials
+        acc = jax.lax.dot_general(
+            xg, wg, (((2,), (1,)), ((1,), (0,))), preferred_element_type=jnp.int32
+        )
+        y = (acc.astype(jnp.float32) * scales[:, None, :]).sum(0) * sx
+    y = y.astype(x.dtype).reshape(lead + (N,))
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def quantize_llama_int4(params: Dict[str, Any], group_size: int = 128) -> Dict[str, Any]:
+    """int4-quantize the big matmuls of a models/llama.py tree (jnp-traceable,
+    so it works under eval_shape; stacked [L, K, N] leaves quantize per layer
+    via the leading-dim support). Embedding stays int8 (gather reads are
+    row-sparse; nibble packing buys nothing there)."""
+    lp = params["layers"]
+    qw4 = lambda leaf: quantize_weight_int4(leaf["w"], group_size)
+    return {
+        "embed": quantize_embedding(params["embed"]["table"]),
+        "layers": {
+            "attn": {k: qw4(lp["attn"][k]) for k in ("q", "k", "v", "o")},
+            "mlp": {k: qw4(lp["mlp"][k]) for k in ("gate", "up", "down")},
+            "input_ln": lp["input_ln"],
+            "post_ln": lp["post_ln"],
+        },
+        "final_ln": params["final_ln"],
+        "lm_head": qw4(params["lm_head"]),
+    }
+
+
+def quantize_model_int4(params: Dict[str, Any], group_size: int = 128) -> Dict[str, Any]:
+    """int4-quantize the LLM backbone of a full MLA param tree (host-side)."""
+    out = dict(params)
+    out["llm_backbone"] = quantize_llama_int4(params["llm_backbone"], group_size)
+    return out
+
+
+# --------------------------------------------------------------------------- #
 # Pallas int8-weight matmul (serving hot path)
 # --------------------------------------------------------------------------- #
 #

@@ -1,0 +1,225 @@
+"""Subprocess driver for the end-to-end golden parity test (SURVEY §7.2's
+minimum slice / BASELINE config 1).
+
+Builds the REFERENCE MLA (reduced LLM: hidden 512 x 4 layers; full-width
+1024-d vision tokenizer) on CPU in bf16 with a pinned seed, records its
+predict_action_diff / predict_action_ar outputs on pinned inputs, exports its
+checkpoint in the reference run-dir format, then loads that run dir through
+OUR `load_vla(...)` and asserts the same predictions.
+
+Run in a subprocess (tests/test_golden_e2e.py) because ref_harness swaps the
+vendored transformers 4.40.1 (with the reference's modified LlamaForCausalLM)
+into sys.modules — that must not leak into other tests.
+
+Reference bugs worked around (documented parity findings, each pinned to the
+reference source):
+  * predict_action_diff never forwards camera_name -> get_camera_params(None)
+    raises (models/mla/model_mla.py:592-775 vs models/vlm/prismatic.py:850);
+  * predict_action_ar passes `image=` where forward/generate expect `images=`
+    (model_mla.py:563-571) — the vendored GenerationMixin kwarg validation
+    rejects it;
+  * predict_action_ar feeds a 3-channel image but VisionTokenizer strips the
+    last channel as the mask (vision_tokenizer.py:122), so the conv would see
+    2 channels; the diff path appends the mask channel (model_mla.py:660-663),
+    the AR path forgot;
+  * forward() requires x/t when self.use_diff (prismatic.py:958) and
+    prepare_inputs_for_generation drops the use_diff kwarg, so AR decode on a
+    diffusion model needs the flag flipped externally.
+
+Prints one line of JSON with the comparison results.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["PALLAS_AXON_TPU_GEN"] = ""
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mla_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+INSTRUCTION = "close the box"
+
+
+def run_reference(workdir: str):
+    import numpy as np
+    import torch
+    from PIL import Image
+
+    from tests import ref_harness as rh
+
+    mla, tok = rh.build_reference_mla()
+    # the reference hard-casts diffusion inputs to bf16 (prismatic.py:873-881)
+    # which clashes with fp32 weights on CPU; bf16 end-to-end is also what the
+    # real 7B deployment runs
+    mla = mla.to(torch.bfloat16).eval()
+
+    rng = np.random.default_rng(0)
+    img_uint8 = rng.integers(0, 255, size=(672, 672, 3), dtype=np.uint8)
+    pil = Image.fromarray(img_uint8)
+    pc = torch.tensor(rng.uniform(-0.5, 0.5, size=(1024, 3)).astype(np.float32))
+    state7 = rng.uniform(-0.2, 0.9, size=7).astype(np.float32)
+
+    # camera_name bug workaround (unused with use_pointcloud=False)
+    mla.vlm.forward = functools.partial(mla.vlm.forward, camera_name="rlbench_front")
+
+    # record the initial-noise draw and the pre-clip samples
+    recorded = []
+    orig_randn = torch.randn
+
+    def rec_randn(*a, **k):
+        out = orig_randn(*a, **k)
+        recorded.append(out.detach().float().cpu().numpy().copy())
+        return out
+
+    raw = {}
+    orig_create = mla.create_ddim
+
+    def create_and_wrap(*a, **k):
+        dd = orig_create(*a, **k)
+        orig_loop = dd.ddim_sample_loop
+
+        def loop(*la, **lk):
+            out = orig_loop(*la, **lk)
+            raw["x"] = out.detach().float().cpu().numpy().copy()
+            return out
+
+        dd.ddim_sample_loop = loop
+        return dd
+
+    mla.create_ddim = create_and_wrap
+
+    torch.randn = rec_randn
+    torch.manual_seed(123)
+    try:
+        diff_actions = mla.predict_action_diff(
+            image=pil, pointcloud=pc, instruction=INSTRUCTION,
+            unnorm_key="rlbench", cur_robot_state=state7,
+        )
+    finally:
+        torch.randn = orig_randn
+
+    ar_ids, ar_actions = _ref_predict_ar_fixed(mla, pil, pc, state7, tok)
+
+    rh.export_reference_run_dir(mla, workdir)
+    return {
+        "img_uint8": img_uint8, "pc": pc.numpy(), "state7": state7,
+        "noise": recorded[0], "raw_samples": raw["x"],
+        "diff_actions": np.asarray(diff_actions),
+        "ar_ids": np.asarray(ar_ids), "ar_actions": np.asarray(ar_actions),
+    }, tok
+
+
+def _ref_predict_ar_fixed(mla, pil, pc, state7, tok):
+    """predict_action_ar's body (model_mla.py:494-589) with the latent bugs
+    above fixed so the reference machinery actually runs."""
+    import numpy as np
+    import torch
+
+    from models.vlm.prismatic import PrismaticVLM
+
+    vlm = mla.vlm
+    proc = vlm.get_vision_tower_2d().image_processor
+    pb = vlm.get_prompt_builder()
+    pb.add_turn(role="human", message=f"What action should the robot take to {INSTRUCTION.lower()}?")
+    input_ids = tok(pb.get_prompt(), truncation=True, return_tensors="pt").input_ids
+    if not torch.all(input_ids[:, -1] == 29871):
+        input_ids = torch.cat((input_ids, torch.tensor([[29871]], dtype=torch.long)), dim=1)
+    pv = proc.preprocess(pil, return_tensors="pt")["pixel_values"]
+    mask = torch.ones(pv.shape[0], 1, pv.shape[2], pv.shape[3], dtype=pv.dtype)
+    image = torch.cat([pv, mask], dim=1)
+
+    stats = mla.get_proprio_stats("rlbench")
+    lo, hi = np.array(stats["q01"]), np.array(stats["q99"])
+    prop = np.clip(2 * (state7 - lo) / (hi - lo + 1e-8) - 1, -1, 1)
+    prop = torch.tensor(prop, dtype=torch.float32)[None, None]
+
+    vlm.use_diff = False
+    try:
+        gen_ids = super(PrismaticVLM, vlm).generate(
+            input_ids=input_ids, images=image, point_cloud=pc, proprio=prop,
+            max_new_tokens=7,
+        )
+    finally:
+        vlm.use_diff = True
+    tok_ids = gen_ids[0, -7:].cpu().numpy()
+    norm = mla.action_tokenizer.decode_token_ids_to_actions(tok_ids)
+    astats = mla.get_action_stats("rlbench")
+    alo, ahi = np.array(astats["q01"]), np.array(astats["q99"])
+    norm = np.clip(norm, -1, 1)
+    norm[6] = np.where(norm[6] < 0.5, 0, 1)
+    return tok_ids, 0.5 * (norm + 1) * (ahi - alo) + alo
+
+
+def run_ours(workdir: str, golden, tok):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mla_tpu.models import mla as mla_mod
+    from mla_tpu.models.load import load_vla
+    from mla_tpu.models.mla import normalize_proprio
+    from mla_tpu.vla.datasets import add_mask_channel, clip_preprocess
+
+    policy = load_vla(workdir, model_id="mla-golden", tokenizer=tok)
+    img = add_mask_channel(clip_preprocess(golden["img_uint8"], 672))
+
+    ours_diff = policy.predict_action_diff(
+        img, golden["pc"], INSTRUCTION, cur_robot_state=golden["state7"],
+        unnorm_key="rlbench", noise=golden["noise"],
+    )
+
+    # pre-clip samples: the sensitive continuous comparison
+    ids = mla_mod.build_prompt_ids(tok, INSTRUCTION, mode="diff")
+    prefix_ids = jnp.asarray(ids[:, :-1])
+    tail_ids = jnp.asarray(ids[:, -1:])
+    prop = normalize_proprio(golden["state7"], policy.get_proprio_stats("rlbench"))
+    fn = policy._diff_fn(int(prefix_ids.shape[1]), 1, use_ddpm=False)
+    samples = fn(
+        policy.params, policy.state, prefix_ids, tail_ids,
+        {"front_image": jnp.asarray(img[None])}, jnp.asarray(golden["pc"][None]),
+        jnp.asarray(prop[None, None, :]), jnp.asarray(golden["noise"].reshape(1, 16, 7)),
+        jax.random.PRNGKey(0),
+    )
+    ours_raw = np.asarray(samples[0])
+
+    ours_ar = policy.predict_action_ar(img, golden["pc"], INSTRUCTION, unnorm_key="rlbench")
+    # the raw greedy token ids for the exact-match check
+    ar_ids_in = mla_mod.build_prompt_ids(tok, INSTRUCTION, mode="ar")
+    arfn = policy._ar_fn(int(ar_ids_in.shape[1]), policy.cfg.action_dim)
+    toks, _ = arfn(
+        policy.params, policy.state, jnp.asarray(ar_ids_in),
+        {"front_image": jnp.asarray(img[None])}, jnp.asarray(golden["pc"][None]),
+        jnp.zeros((1, 1, policy.cfg.action_dim), jnp.float32),
+    )
+    return ours_diff, ours_raw, np.asarray(ours_ar), np.asarray(toks[0])
+
+
+def main():
+    import tempfile
+
+    import numpy as np
+
+    workdir = tempfile.mkdtemp(prefix="golden_e2e_")
+    golden, tok = run_reference(workdir)
+    ours_diff, ours_raw, ours_ar, ours_ar_ids = run_ours(workdir, golden, tok)
+
+    ref_raw = golden["raw_samples"][0]
+    rel = np.abs(ours_raw - ref_raw) / (np.abs(ref_raw) + 1e-3)
+    result = {
+        "diff_max_abs_err": float(np.abs(ours_diff - golden["diff_actions"]).max()),
+        "raw_max_rel_err": float(rel.max()),
+        "raw_std": float(ref_raw.std()),
+        "ar_ids_equal": bool((ours_ar_ids.reshape(-1) == golden["ar_ids"].reshape(-1)).all()),
+        "ar_max_abs_err": float(np.abs(ours_ar - golden["ar_actions"]).max()),
+    }
+    print("GOLDEN_E2E_RESULT " + json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

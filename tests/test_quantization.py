@@ -97,3 +97,91 @@ def test_w8a8_quantized_llama(monkeypatch):
     out_q = llama_mod.llama_forward(qparams, cfg, emb)["logits"]
     denom = np.abs(np.asarray(out_fp)).max()
     assert np.abs(np.asarray(out_fp - out_q)).max() / denom < 0.08
+
+
+# --------------------------------------------------------------------------- #
+# int4 weight-only (W4A8 serving path)
+# --------------------------------------------------------------------------- #
+
+
+def test_int4_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    vals = rng.integers(-7, 8, size=(64, 48)).astype(np.int8)
+    packed = q.pack_int4(jnp.asarray(vals))
+    assert packed.shape == (64, 24) and packed.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(q.unpack_int4_reference(packed)), vals)
+    # native bitcast unpack agrees with the arithmetic-shift reference
+    np.testing.assert_array_equal(
+        np.asarray(q.unpack_int4_native(packed).astype(jnp.int8)), vals
+    )
+
+
+def test_int4_quantize_dequantize_error_bound():
+    """Group-128 symmetric int4 on gaussian weights: per-element error is
+    bounded by half the group step (amax/14)."""
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(256, 64)).astype(np.float32)
+    p = q.quantize_weight_int4(jnp.asarray(w), group_size=128)
+    wd = np.asarray(q.dequantize_weight_int4(p, jnp.float32))
+    step = np.asarray(p["w_scale4"])  # [G, N]
+    bound = np.repeat(step, 128, axis=0) / 2 + 1e-6
+    assert (np.abs(wd - w) <= bound).all()
+
+
+def test_int4_linear_matches_dequant_matmul():
+    """int4_linear == x @ dequant(w4) up to the activation quantization."""
+    rng = np.random.default_rng(2)
+    w = rng.normal(size=(256, 96)).astype(np.float32)
+    x = rng.normal(size=(3, 5, 256)).astype(np.float32)
+    p = q.quantize_weight_int4(jnp.asarray(w), group_size=64)
+    wd = np.asarray(q.dequantize_weight_int4(p, jnp.float32))
+    y_ref = x @ wd
+    y = np.asarray(q.int4_linear(p, jnp.asarray(x), native=False))
+    rel = np.abs(y - y_ref).max() / np.abs(y_ref).max()
+    assert rel < 0.02, rel
+    # nn.linear dispatches transparently on the leaf keys
+    y_nn = np.asarray(nn.linear(p, jnp.asarray(x)))
+    np.testing.assert_allclose(y_nn, y, atol=1e-5)
+
+
+def test_int4_quantized_llama_close_to_fp():
+    """Sanity bound, not a quality claim: a 2-layer random-init llama is the
+    worst case for int4 (logits hover near zero so relative error is
+    inflated); the bound pins that the path is wired right, the per-weight
+    error bound test above pins the quantizer itself."""
+    cfg = llama_mod.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=4, max_position_embeddings=32,
+        contrastive_layer=1, compute_dtype=jnp.float32,
+    )
+    params = llama_mod.llama_init(jax.random.PRNGKey(3), cfg)
+    qparams = q.quantize_llama_int4(params, group_size=32)
+    ids = jnp.asarray(np.array([[3, 17, 42, 9]]))
+    emb = llama_mod.embed_tokens(params, ids)
+    out_fp = llama_mod.llama_forward(params, cfg, emb)["logits"]
+    out_q = llama_mod.llama_forward(qparams, cfg, emb)["logits"]
+    denom = np.abs(np.asarray(out_fp)).max()
+    assert np.abs(np.asarray(out_fp - out_q)).max() / denom < 0.3
+
+
+def test_int4_eval_shape_and_fusion():
+    """quantize_llama_int4 works abstractly (bench builds zero trees from
+    eval_shape) and fuse_for_serving concatenates int4 leaves."""
+    cfg = llama_mod.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=4, max_position_embeddings=32,
+        contrastive_layer=1, compute_dtype=jnp.float32,
+    )
+    params = llama_mod.llama_init(jax.random.PRNGKey(4), cfg)
+    shapes = jax.eval_shape(lambda p: q.quantize_llama_int4(p, 32), params)
+    assert shapes["layers"]["mlp"]["gate"]["w_q4"].shape == (2, 64, 64)
+    assert shapes["layers"]["mlp"]["gate"]["w_scale4"].shape == (2, 2, 128)
+
+    qparams = q.quantize_llama_int4(params, group_size=32)
+    fused = llama_mod.fuse_for_serving(qparams)
+    assert fused["layers"]["attn"]["qkv_fused"]["w_q4"].shape == (2, 64, 96)
+    ids = jnp.asarray(np.array([[3, 17, 42, 9]]))
+    emb = llama_mod.embed_tokens(params, ids)
+    out_q = llama_mod.llama_forward(qparams, cfg, emb)["logits"]
+    out_f = llama_mod.llama_forward(fused, cfg, emb)["logits"]
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_f), atol=2e-4, rtol=1e-4)
