@@ -67,6 +67,10 @@ class VLATrainConfig:
     run_id: Optional[str] = None
     seed: int = 42
     save_interval: int = 2500
+    # post-training generation visualization cadence (0 = off); panels land
+    # in <run_dir>/visualizations (reference dumps from inside the forward
+    # with a hardcoded path, prismatic.py:1129-1135)
+    visualize_interval: int = 0
     pretrained_checkpoint: Optional[str] = None
     resume_step: Optional[int] = None
     resume_epoch: Optional[int] = None

@@ -189,3 +189,31 @@ def shard_train_state(state: Dict[str, Any], mesh: Mesh, use_tp: bool = False) -
             jax.device_put, state["ema_params"], p_shardings
         )
     return out
+
+
+def make_visualize_step(cfg: prismatic.MLAModelConfig, sched: gd.Schedule) -> Callable:
+    """Jitted eval forward returning the generation-head outputs for
+    training-time visualization (the reference dumps these from inside the
+    training forward via a hardcoded path, models/vlm/prismatic.py:1129-1135;
+    here it is an explicit cadence hook in scripts/train.py driven by
+    --visualize_interval, writing under the run dir)."""
+
+    @jax.jit
+    def viz_step(state, batch, rng):
+        k_noise, k_t, k_model = jax.random.split(rng, 3)
+        params, model_state = state["params"], state["model_state"]
+        b = dict(batch)
+        if cfg.use_diff:
+            actions_future = b["actions"][:, -cfg.action_horizon:, :]
+            noise = jax.random.normal(k_noise, actions_future.shape, jnp.float32)
+            t = jax.random.randint(k_t, (actions_future.shape[0],), 0, sched.num_timesteps)
+            b["x"] = gd.q_sample(sched, actions_future.astype(jnp.float32), t, noise)
+            b["t"] = t
+            b.pop("labels", None)
+        outputs, _ = prismatic.vlm_forward(
+            params, model_state, cfg, b, training=True, use_diff=cfg.use_diff,
+            rng=k_model, remat=False,
+        )
+        return outputs.get("generation_outputs", {})
+
+    return viz_step

@@ -204,6 +204,7 @@ def main(argv=None):
     state = strategy.shard_train_state(state, mesh, use_tp=args.tp > 1)
     del params, mstate
     step_fn = strategy.make_train_step(cfg, train_cfg, tx, sched, mesh)
+    viz_fn = None  # built lazily on first --visualize_interval cadence hit
 
     start_step = 0
     if tc.is_resume and (latest := ckpt_mod.latest_checkpoint(run_dir)) is not None:
@@ -244,6 +245,24 @@ def main(argv=None):
             ckpt_mod.save_checkpoint(
                 run_dir, state, step=step + 1, epoch=0, loss=loss, model_cfg=cfg,
                 async_save=tc.async_checkpoints,
+            )
+        if (
+            tc.visualize_interval
+            and cfg.use_generation
+            and (step + 1) % tc.visualize_interval == 0
+        ):
+            if viz_fn is None:
+                viz_fn = strategy.make_visualize_step(cfg, sched)
+            from mla_tpu.utils.visualize import save_generation_visualization
+
+            gen_outs = jax.device_get(viz_fn(state, batch, step_key))
+            save_generation_visualization(
+                gen_outs,
+                host_batch.get("next_images"),
+                host_batch.get("next_point_cloud"),
+                run_dir / "visualizations",
+                step=step + 1,
+                image_patch_size=cfg.gen.image.image_patch_size,
             )
     ckpt_mod.wait_for_async_saves()
     metrics.finalize()

@@ -243,3 +243,77 @@ def test_convert_llama_roundtrip_with_padding():
     emb = llama_mod.embed_tokens(jparams, jnp.asarray(ids))
     got = np.asarray(llama_mod.llama_forward(jparams, cfg, emb)["logits"])[:, :, :128]
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+
+
+# --------------------------------------------------------------------------- #
+# Full-width front-end goldens (production shapes)
+# --------------------------------------------------------------------------- #
+#
+# The reduced-width tests above pin the structure cheaply; these run the
+# PRODUCTION dimensions the flagship serves with — vision tokenizer at
+# C=1024 on a 672x672 image (reference vision_tokenizer.py:92-152), point
+# tokenizer at Point_PN_scan() defaults: 1024 points, k=81 neighbors,
+# embed 96 -> out 384 (Point_PN.py:301-315) — including the k=81 kNN
+# selection behavior at full neighborhood size.
+
+
+def test_vision_tokenizer_parity_full_width(ref_vision):
+    from mla_tpu.models import vision_tokenizer as vt
+    from mla_tpu.models.convert import convert_vision_tokenizer
+
+    C = 1024
+    torch.manual_seed(0)
+    ref = ref_vision.VisionTokenizer(input_size=C)
+    ref.eval()
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(1, 3, 672, 672)).astype(np.float32)
+    mask = np.ones((1, 1, 672, 672), np.float32)
+    px = torch.tensor(np.concatenate([img, mask], axis=1))
+    with torch.no_grad():
+        tokens_list, _ = ref(px, torch.nn.Identity())
+    want = torch.stack(tokens_list).numpy()
+
+    params = convert_vision_tokenizer(ref.state_dict())
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    cfg = vt.VisionTokenizerConfig(hidden_dim=C)
+    got = np.asarray(
+        vt.vision_tokenizer(params, jnp.asarray(np.concatenate([img, mask], 1)), cfg)
+    )
+    assert got.shape == want.shape == (1, 256, C)
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3)
+
+
+def test_point_tokenizer_parity_full_size(ref_point):
+    from mla_tpu.models import point_tokenizer as pt
+    from mla_tpu.models.convert import convert_point_tokenizer
+
+    torch.manual_seed(0)
+    ref = ref_point.Point_PN_scan()  # 1024 pts, 2 stages, embed 96, k=81
+    ref.eval()
+
+    rng = np.random.default_rng(1)
+    pc = rng.uniform(-0.5, 0.5, size=(1, 1024, 3)).astype(np.float32)
+    x = torch.tensor(pc).transpose(1, 2).contiguous()
+    with torch.no_grad():
+        xyz_ref, feats_ref, *_ = ref(x, torch.tensor(pc))
+
+    sd = {f"patch_embed.{k}": v for k, v in ref.state_dict().items()}
+    proj = torch.nn.Linear(384, 768)
+    sd["proj.weight"], sd["proj.bias"] = proj.weight.data, proj.bias.data
+    sd["cls_token"] = torch.zeros(1, 1, 768)
+    sd["pos_embed"] = torch.zeros(1, 257, 768)
+    norm = torch.nn.LayerNorm(768)
+    sd["norm.weight"], sd["norm.bias"] = norm.weight.data, norm.bias.data
+
+    params, state = convert_point_tokenizer(sd, num_stages=2, lga_blocks=(2, 1))
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    state = jax.tree_util.tree_map(jnp.asarray, state)
+    cfg = pt.PointTokenizerConfig()  # production defaults
+    tokens, centers, _ = pt.point_tokenizer(
+        params, state, jnp.asarray(pc), cfg, training=False
+    )
+
+    np.testing.assert_allclose(np.asarray(centers), xyz_ref.numpy(), atol=1e-5)
+    want_tokens = proj(feats_ref.transpose(1, 2)).detach().numpy()
+    np.testing.assert_allclose(np.asarray(tokens), want_tokens, atol=2e-3, rtol=1e-3)
