@@ -120,3 +120,38 @@ def chamfer_distance_host(a: np.ndarray, b: np.ndarray) -> float:
         return float(lib.chamfer(aa, aa.shape[0], bb, bb.shape[0]))
     d = np.sqrt(((aa[:, None, :] - bb[None, :, :]) ** 2).sum(-1))
     return float(d.min(1).mean() + d.min(0).mean())
+
+
+def prepare_pointcloud(
+    points: np.ndarray,
+    target_n: int,
+    *,
+    cell: Optional[float] = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """Normalize a RAW sensor cloud [N, 3] to exactly `target_n` points for
+    the tokenizer front-end — the deployment-side preprocessing the reference
+    carries dormant native code for (vla/datasets/cpp/subsampling/):
+
+      1. optional voxel-grid subsampling (`cell` in meters, first point per
+         voxel) through the C++ hash-grid when built, numpy fallback
+         otherwise — deduplicates dense sensor returns before any O(N)
+         selection;
+      2. exact-count adjustment: deterministic-seed random subset when over,
+         resampling with replacement when under.
+    """
+    pts = np.ascontiguousarray(np.asarray(points, np.float32).reshape(-1, 3))
+    if cell is not None and pts.shape[0] > target_n:
+        idx = grid_subsample(pts, cell)
+        if idx.shape[0] >= target_n:
+            pts = pts[idx]
+    n = pts.shape[0]
+    rng = np.random.default_rng(seed)
+    if n > target_n:
+        idx = rng.choice(n, size=target_n, replace=False)
+        idx.sort()
+        pts = pts[idx]
+    elif n < target_n:
+        idx = rng.choice(n, size=target_n - n, replace=True)
+        pts = np.concatenate([pts, pts[idx]], axis=0)
+    return pts

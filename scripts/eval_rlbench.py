@@ -78,9 +78,10 @@ def run_simulator_eval(args, logger):
             obs = env.reset()
             done, success = False, False
             for step in range(args.max_steps):
+                pc = _prep_pc(obs["point_cloud"], policy, args)
                 action_chunk = policy.predict_action_diff(
                     image=obs["image"],
-                    pointcloud=obs["point_cloud"],
+                    pointcloud=pc,
                     instruction=obs["instruction"],
                     cur_robot_state=obs.get("robot_state"),
                     unnorm_key=args.unnorm_key,
@@ -100,6 +101,18 @@ def run_simulator_eval(args, logger):
     return 0
 
 
+def _prep_pc(pc, policy, args):
+    """Raw sensor cloud -> exactly cfg.point.input_points points (voxel
+    subsample + exact-count adjust); no-op when the cloud already matches."""
+    pc = np.asarray(pc, np.float32)
+    target = policy.cfg.point.input_points
+    if pc.ndim == 2 and (pc.shape[0] != target or args.voxel_cell is not None):
+        from mla_tpu.native.pointops_host import prepare_pointcloud
+
+        pc = prepare_pointcloud(pc, target, cell=args.voxel_cell)
+    return pc
+
+
 def run_offline_trace(args, logger):
     policy = load_policy(args)
     trace = np.load(args.offline_trace, allow_pickle=True)
@@ -113,7 +126,9 @@ def run_offline_trace(args, logger):
     for i in range(len(images)):
         img = add_mask_channel(clip_preprocess(images[i], policy.cfg.vision.image_size))
         t0 = time.perf_counter()
-        act = policy.predict_action_diff(img, pointclouds[i], instruction, unnorm_key=args.unnorm_key)
+        act = policy.predict_action_diff(
+            img, _prep_pc(pointclouds[i], policy, args), instruction, unnorm_key=args.unnorm_key
+        )
         latencies.append(time.perf_counter() - t0)
         actions.append(act)
     out = Path(args.output_dir)
@@ -139,6 +154,12 @@ def main(argv=None):
     p.add_argument("--unnorm_key", default=None)
     p.add_argument("--output_dir", default="eval_out")
     p.add_argument("--offline_trace", default=None)
+    p.add_argument(
+        "--voxel_cell", type=float, default=None,
+        help="voxel-grid cell size (m) for raw-cloud preprocessing; clouds "
+             "are then sampled to the model's input_points (the reference's "
+             "dormant grid_subsampling C++ made active, csrc/pointops_host.cpp)",
+    )
     args = p.parse_args(argv)
     if args.tasks == ["all"]:
         args.tasks = RLBENCH_TASKS

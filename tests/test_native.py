@@ -59,3 +59,29 @@ def test_chamfer_matches_numpy():
     want = d.min(1).mean() + d.min(0).mean()
     assert got == pytest.approx(want, rel=1e-5)
     assert chamfer_distance_host(a, a) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_prepare_pointcloud_paths():
+    """Raw-cloud preprocessing: voxel subsample + exact-count adjust covers
+    oversized, undersized, and exact inputs deterministically."""
+    import numpy as np
+
+    from mla_tpu.native.pointops_host import prepare_pointcloud
+
+    rng = np.random.default_rng(0)
+    dense = rng.uniform(0, 1, size=(5000, 3)).astype(np.float32)
+    out = prepare_pointcloud(dense, 1024, cell=0.05)
+    assert out.shape == (1024, 3)
+    # deterministic for a fixed seed
+    np.testing.assert_array_equal(out, prepare_pointcloud(dense, 1024, cell=0.05))
+    # voxel subsample keeps the first point per cell -> output is a subset
+    as_set = {tuple(p) for p in np.round(dense, 6)}
+    assert all(tuple(p) in as_set for p in np.round(out, 6))
+
+    small = dense[:100]
+    up = prepare_pointcloud(small, 256)
+    assert up.shape == (256, 3)
+    assert {tuple(p) for p in np.round(up, 6)} <= {tuple(p) for p in np.round(small, 6)}
+
+    exact = dense[:512]
+    np.testing.assert_array_equal(prepare_pointcloud(exact, 512), exact)
