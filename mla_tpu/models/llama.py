@@ -130,9 +130,18 @@ def _layer_fn(
     key_mask: Optional[jnp.ndarray],
     cache_len,
     use_flash: Optional[bool],
+    cache_read_only: bool = False,
 ):
     """One decoder layer. cache_kv: (k_cache, v_cache) [B,Hkv,Smax,hd] or None.
-    Returns (h, (new_k_cache, new_v_cache))."""
+    Returns (h, (new_k_cache, new_v_cache)).
+
+    cache_read_only: attend over [cached prefix | in-flight k/v] WITHOUT
+    writing the cache (returns it untouched). The DDIM suffix loop re-runs
+    the same 19 positions every step, so persisting their K/V is pure
+    overhead — each dynamic_update_slice forces XLA to copy the full cache
+    (the original is live for the next step). Scores against the cache and
+    the in-flight block are computed separately and combined under one
+    softmax — mathematically identical to the write-then-attend path."""
     B, S, D = h.shape
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -151,6 +160,50 @@ def _layer_fn(
     k = k.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, Hkv, hd).transpose(0, 2, 1, 3)
     q, k = rope_ops.apply_rope(q, k, cos_table, sin_table, positions)
+
+    if cache_kv is not None and cache_read_only:
+        k_cache, v_cache = cache_kv
+        if Hkv != H:
+            rep = H // Hkv
+            k_cache = jnp.repeat(k_cache, rep, axis=1)
+            v_cache = jnp.repeat(v_cache, rep, axis=1)
+            k_rep = jnp.repeat(k, rep, axis=1)
+            v_rep = jnp.repeat(v, rep, axis=1)
+        else:
+            k_rep, v_rep = k, v
+        scale = 1.0 / np.sqrt(hd)
+        # cache piece: mask everything at/after the write position (stale)
+        s_cache = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k_cache, preferred_element_type=jnp.float32
+        ) * scale
+        cache_pos = jnp.arange(k_cache.shape[2])
+        stale = cache_pos[None, None, None, :] >= cache_len
+        if key_mask is not None:
+            stale = stale | ~key_mask[:, None, None, : k_cache.shape[2]]
+        s_cache = jnp.where(stale, -jnp.inf, s_cache)
+        # in-flight piece: causal within the block
+        s_new = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k_rep, preferred_element_type=jnp.float32
+        ) * scale
+        qi = jnp.arange(S)[:, None]
+        ki = jnp.arange(S)[None, :]
+        s_new = jnp.where((ki > qi)[None, None], -jnp.inf, s_new)
+        attn = jax.nn.softmax(jnp.concatenate([s_cache, s_new], axis=-1), axis=-1)
+        attn = attn.astype(v_rep.dtype)
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", attn[..., : k_cache.shape[2]], v_cache
+        ) + jnp.einsum("bhqk,bhkd->bhqd", attn[..., k_cache.shape[2] :], v_rep)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+        h = h + nn.linear(lp["attn"]["o"], out)
+        x = nn.rms_norm(lp["post_ln"], h, cfg.rms_eps)
+        if "gateup_fused" in lp["mlp"]:
+            gu = nn.linear(lp["mlp"]["gateup_fused"], x)
+            I = gu.shape[-1] // 2
+            gated = nn.silu(gu[..., :I]) * gu[..., I:]
+        else:
+            gated = nn.silu(nn.linear(lp["mlp"]["gate"], x)) * nn.linear(lp["mlp"]["up"], x)
+        h = h + nn.linear(lp["mlp"]["down"], gated)
+        return h, cache_kv
 
     is_static_prefill = cache_kv is not None and isinstance(cache_len, int) and cache_len == 0
     if cache_kv is not None:
@@ -211,6 +264,7 @@ def llama_forward(
     use_flash: Optional[bool] = None,
     compute_logits: bool = True,
     scan_unroll: Optional[int] = None,
+    cache_read_only: bool = False,
 ) -> Dict[str, Any]:
     """Decoder forward from embeddings.
 
@@ -237,6 +291,9 @@ def llama_forward(
         scan_unroll = cfg.num_layers if (S < 64 and not remat) else 1
     full_unroll = scan_unroll >= cfg.num_layers
 
+    if cache_read_only and kv_cache is not None:
+        assert full_unroll, "cache_read_only is a serving-decode mode (full unroll)"
+
     if positions is None:
         positions = jnp.arange(S) + cache_len
     cos_table, sin_table = rope_ops.rope_tables(
@@ -254,6 +311,7 @@ def llama_forward(
         key_mask=key_mask,
         cache_len=cache_len,
         use_flash=use_flash,
+        cache_read_only=cache_read_only,
     )
     if remat:
         layer = jax.checkpoint(layer, prevent_cse=False)
@@ -282,6 +340,9 @@ def llama_forward(
                     nvs.append(nc[1])
             if cache_slice is None:
                 return h, None
+            if cache_read_only:
+                # layers leave the cache untouched; re-stacking would copy it
+                return h, cache_slice
             return h, {"k": jnp.stack(nks), "v": jnp.stack(nvs)}
 
         if cache_slice is None:
@@ -317,10 +378,13 @@ def llama_forward(
         "hidden_mid": hidden_mid,
     }
     if kv_cache is not None:
-        out["kv_cache"] = {
-            "k": jnp.concatenate([new_cache_lo["k"], new_cache_hi["k"]], axis=0),
-            "v": jnp.concatenate([new_cache_lo["v"], new_cache_hi["v"]], axis=0),
-        }
+        if cache_read_only:
+            out["kv_cache"] = kv_cache  # untouched; re-concat would copy it
+        else:
+            out["kv_cache"] = {
+                "k": jnp.concatenate([new_cache_lo["k"], new_cache_hi["k"]], axis=0),
+                "v": jnp.concatenate([new_cache_lo["v"], new_cache_hi["v"]], axis=0),
+            }
     if compute_logits:
         # fp32 logits, reference modeling_llama.py:1256
         head = params["lm_head"]

@@ -223,8 +223,13 @@ def make_suffix_denoise_fn(
     proprio: jnp.ndarray,   # [B, 1, action_dim]
     tail_ids: jnp.ndarray,  # [B, Lt] ids after the splice (the 29871 tail)
 ):
-    """Build the eps-model closure: (x, t) -> eps via a 19-token suffix
-    forward [proprio, t, x_0..15, tail] against the cached prefix."""
+    """Build the eps-model closure: (x, t) -> eps via a short suffix forward
+    [proprio, t, x_0..15] against the cached prefix. The prompt's trailing
+    tail ids (the 29871 after the splice) sit causally AFTER the x tokens, so
+    their hidden states cannot influence the eps read-out — they are dropped
+    from the denoise forward entirely (exactness covered by
+    tests/test_model.py::test_prefix_cache_diffusion_is_exact)."""
+    del tail_ids  # kept in the signature for call-site symmetry
     B = proprio.shape[0]
     horizon = cfg.action_horizon
     cache_max = kv_cache["k"].shape[3]
@@ -233,8 +238,7 @@ def make_suffix_denoise_fn(
     proprio_emb = embedders.action_embedder(
         params["proprio_embedder"], proprio.astype(cfg.llama.compute_dtype)
     )
-    tail_emb = decoder.embed_tokens(params["llm_backbone"], tail_ids)
-    suffix_len = 2 + horizon + tail_ids.shape[1]
+    suffix_len = 2 + horizon
     key_mask = (jnp.arange(cache_max) < prefix_len + suffix_len)[None, :].repeat(B, axis=0)
 
     def denoise_fn(x, t_model):
@@ -243,12 +247,15 @@ def make_suffix_denoise_fn(
         )
         t_emb = embedders.timestep_embedder(params["t_embedder"], t_model)[:, None, :]
         suffix = jnp.concatenate(
-            [proprio_emb, t_emb.astype(x_emb.dtype), x_emb, tail_emb], axis=1
+            [proprio_emb, t_emb.astype(x_emb.dtype), x_emb], axis=1
         )
         out = decoder.forward(
             params["llm_backbone"], cfg.llama, suffix,
             kv_cache=kv_cache, cache_len=prefix_len, key_mask=key_mask,
             compute_logits=False,
+            # denoise steps re-run the same positions every iteration;
+            # persisting their K/V would copy the whole cache per step
+            cache_read_only=True,
         )
         final = embedders.final_layer(params["final_layer"], out["last_hidden"])
         # x tokens at suffix positions [2, 2+horizon)

@@ -145,8 +145,11 @@ def _layer_fn(lp, h, cache_kv, cfg: PhiConfig, cos, sin, positions, key_mask, ca
 def phi_forward(
     params, cfg: PhiConfig, inputs_embeds, *, positions=None, key_mask=None,
     kv_cache=None, cache_len=0, remat=False, use_flash=None, compute_logits=True,
-    scan_unroll=None,
-):  # scan_unroll accepted for decoder-interface parity (scan-only here)
+    scan_unroll=None, cache_read_only=False,
+):  # scan_unroll/cache_read_only accepted for decoder-interface parity
+    # (scan-only here: read_only falls back to the write-then-attend path,
+    # whose semantics are identical)
+    del cache_read_only
     B, S, D = inputs_embeds.shape
     h = inputs_embeds.astype(cfg.compute_dtype)
     if positions is None:

@@ -187,6 +187,13 @@ def get_fused_tokens(
     Returns dict with fused tokens, projection pairing, tactile positives,
     the projected front-image features (for the generation heads), and
     updated batch-norm state."""
+    # the tokenizer front-end computes in the LLM compute dtype (bf16 on the
+    # 7B flagship), matching the reference's autocast over the vision tower
+    # (prismatic.py:1049 autocast bf16; vision_tokenizer.py:124 casts pixels
+    # to the module dtype). fp32 pixels would silently upcast every front-end
+    # matmul — measured ~1.5 ms/call at serving time.
+    cdt = cfg.llama.compute_dtype
+    images = {k: v.astype(cdt) for k, v in images.items()}
     front = images["front_image"]
     B = front.shape[0]
     D = cfg.token_size

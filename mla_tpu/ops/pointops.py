@@ -162,3 +162,63 @@ def fps_knn(
     knn_xyz = index_points(xyz, knn_idx)
     knn_x = index_points(feats, knn_idx)
     return lc_xyz, lc_x, knn_xyz, knn_x, fps_idx, knn_idx
+
+
+# --------------------------------------------------------------------------- #
+# Point-transformer ops (reference pointops Subtraction/Aggregation/
+# queryandgroup, vla/datasets/cpp/pointops/functions/pointops.py:106-244).
+# The CUDA autograd Functions become plain jnp expressions — JAX autodiff
+# reproduces the hand-written backward kernels exactly (tested).
+# --------------------------------------------------------------------------- #
+
+
+def subtraction(input1: jnp.ndarray, input2: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """out[..., i, j, :] = input1[..., i, :] - input2[..., idx[i, j], :].
+
+    input1/input2: [..., N, C], idx: [..., N, K] int -> [..., N, K, C]
+    (reference subtraction_forward_cuda semantics)."""
+    gathered = jnp.take_along_axis(
+        input2[..., None, :], idx[..., None].astype(jnp.int32), axis=-3
+    )
+    return input1[..., :, None, :] - gathered
+
+
+def aggregation(
+    feat: jnp.ndarray, position: jnp.ndarray, weight: jnp.ndarray, idx: jnp.ndarray
+) -> jnp.ndarray:
+    """Point-transformer vector-attention aggregation
+    (aggregation_forward_cuda): out[i, c] = sum_j (feat[idx[i,j], c] +
+    position[i, j, c]) * weight[i, j, c % w_c].
+
+    feat: [..., N, C], position: [..., N, K, C], weight: [..., N, K, w_c]
+    with w_c dividing C (shared-plane weights), idx: [..., N, K] -> [..., N, C]."""
+    g = jnp.take_along_axis(
+        feat[..., None, :], idx[..., None].astype(jnp.int32), axis=-3
+    )  # [..., N, K, C]
+    reps = feat.shape[-1] // weight.shape[-1]
+    w = jnp.tile(weight, (1,) * (weight.ndim - 1) + (reps,))
+    return ((g + position) * w).sum(axis=-2)
+
+
+def query_and_group(
+    nsample: int,
+    xyz: jnp.ndarray,
+    new_xyz: Optional[jnp.ndarray],
+    feat: jnp.ndarray,
+    idx: Optional[jnp.ndarray] = None,
+    use_xyz: bool = True,
+) -> jnp.ndarray:
+    """Reference queryandgroup (pointops.py:151-173), batched: kNN-group
+    features around query centers with center-relative coordinates.
+
+    xyz: [B, N, 3], new_xyz: [B, M, 3] (None -> xyz), feat: [B, N, C]
+    -> [B, M, K, 3+C] (or [B, M, K, C] when use_xyz=False)."""
+    if new_xyz is None:
+        new_xyz = xyz
+    if idx is None:
+        idx = knn(nsample, xyz, new_xyz)  # [B, M, K]
+    grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
+    grouped_feat = index_points(feat, idx)
+    if use_xyz:
+        return jnp.concatenate([grouped_xyz, grouped_feat], axis=-1)
+    return grouped_feat

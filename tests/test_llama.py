@@ -170,3 +170,42 @@ def test_matches_hf_llama(small):
     embeds = llama.embed_tokens(params, jnp.asarray(ids))
     got = np.asarray(llama.llama_forward(params, cfg, embeds)["logits"])
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_cache_read_only_decode_matches_write_path():
+    """The serving suffix mode (attend over [cached prefix | in-flight]
+    without writing the cache) is numerically identical to the
+    write-then-attend path, and really does leave the cache untouched."""
+    cfg = llama.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=3,
+        num_heads=4, num_kv_heads=2, max_position_embeddings=64,
+        contrastive_layer=1, compute_dtype=jnp.float32,
+    )
+    params = llama.llama_init(jax.random.PRNGKey(0), cfg)
+    P, S, CM = 7, 5, 16
+    prefix = jax.random.normal(jax.random.PRNGKey(1), (2, P, 32))
+    suffix = jax.random.normal(jax.random.PRNGKey(2), (2, S, 32))
+
+    cache = llama.init_kv_cache(cfg, 2, CM, dtype=jnp.float32)
+    mask_p = (jnp.arange(CM) < P)[None, :].repeat(2, axis=0)
+    out_p = llama.llama_forward(
+        params, cfg, prefix, kv_cache=cache, cache_len=0, key_mask=mask_p,
+        compute_logits=False, scan_unroll=cfg.num_layers,
+    )
+    kv = out_p["kv_cache"]
+    mask_s = (jnp.arange(CM) < P + S)[None, :].repeat(2, axis=0)
+
+    out_w = llama.llama_forward(
+        params, cfg, suffix, kv_cache=kv, cache_len=P, key_mask=mask_s,
+        compute_logits=False, scan_unroll=cfg.num_layers,
+    )
+    out_r = llama.llama_forward(
+        params, cfg, suffix, kv_cache=kv, cache_len=P, key_mask=mask_s,
+        compute_logits=False, scan_unroll=cfg.num_layers, cache_read_only=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_r["last_hidden"]), np.asarray(out_w["last_hidden"]),
+        atol=1e-5, rtol=1e-5,
+    )
+    # cache is returned untouched (same contents as the prefill cache)
+    np.testing.assert_array_equal(np.asarray(out_r["kv_cache"]["k"]), np.asarray(kv["k"]))

@@ -234,3 +234,71 @@ def test_sdpa_padding_mask():
         )
     )
     np.testing.assert_allclose(got[:, :, 3], got_reduced[:, :, 0], atol=1e-5)
+
+
+def test_subtraction_matches_cuda_semantics():
+    """out[i,j] = input1[i] - input2[idx[i,j]] (reference
+    subtraction_forward_cuda) + autodiff reproduces the handwritten
+    backward (scatter-add into input2)."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    N, K, C = 6, 3, 4
+    a = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, N, size=(N, K)).astype(np.int32))
+
+    out = np.asarray(pointops.subtraction(a, b, idx))
+    want = np.asarray(a)[:, None, :] - np.asarray(b)[np.asarray(idx)]
+    np.testing.assert_allclose(out, want, atol=1e-6)
+
+    # backward parity with the CUDA kernel: d/da = sum_j g, d/db = -scatter
+    g = rng.normal(size=(N, K, C)).astype(np.float32)
+    _, vjp = jax.vjp(lambda a_, b_: pointops.subtraction(a_, b_, idx), a, b)
+    da, db = vjp(jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(da), g.sum(1), atol=1e-5)
+    db_want = np.zeros((N, C), np.float32)
+    np.subtract.at(db_want, np.asarray(idx).reshape(-1), g.reshape(-1, C))
+    np.testing.assert_allclose(np.asarray(db), db_want, atol=1e-5)
+
+
+def test_aggregation_matches_cuda_semantics():
+    """out[i,c] = sum_j (feat[idx[i,j],c] + pos[i,j,c]) * w[i,j,c % w_c]
+    (reference aggregation_forward_cuda, shared-plane weights)."""
+    rng = np.random.default_rng(1)
+    N, K, C, WC = 5, 3, 6, 2
+    feat = rng.normal(size=(N, C)).astype(np.float32)
+    pos = rng.normal(size=(N, K, C)).astype(np.float32)
+    w = rng.normal(size=(N, K, WC)).astype(np.float32)
+    idx = rng.integers(0, N, size=(N, K)).astype(np.int32)
+
+    out = np.asarray(
+        pointops.aggregation(jnp.asarray(feat), jnp.asarray(pos), jnp.asarray(w), jnp.asarray(idx))
+    )
+    want = np.zeros((N, C), np.float32)
+    for i in range(N):
+        for c in range(C):
+            for j in range(K):
+                want[i, c] += (feat[idx[i, j], c] + pos[i, j, c]) * w[i, j, c % WC]
+    np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_query_and_group():
+    """Center-relative kNN grouping (reference queryandgroup)."""
+    rng = np.random.default_rng(2)
+    B, N, M, K, C = 2, 16, 4, 3, 5
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(B, N, 3)).astype(np.float32))
+    new_xyz = jnp.asarray(rng.uniform(-1, 1, size=(B, M, 3)).astype(np.float32))
+    feat = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+
+    out = np.asarray(pointops.query_and_group(K, xyz, new_xyz, feat))
+    assert out.shape == (B, M, K, 3 + C)
+    idx = np.asarray(pointops.knn(K, xyz, new_xyz))
+    for b in range(B):
+        for m in range(M):
+            np.testing.assert_allclose(
+                out[b, m, :, :3],
+                np.asarray(xyz)[b, idx[b, m]] - np.asarray(new_xyz)[b, m],
+                atol=1e-6,
+            )
+            np.testing.assert_allclose(out[b, m, :, 3:], np.asarray(feat)[b, idx[b, m]], atol=1e-6)
