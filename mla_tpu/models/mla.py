@@ -277,9 +277,17 @@ def ddim_denoise_actions(
     use_ddpm: bool = False,
     key: Optional[jax.Array] = None,
     cfg_scale: float = 0.0,
+    sampler: str = "ddim",
+    num_dpm_steps: int = 4,
 ) -> jnp.ndarray:
     """DDIM/DDPM loop where each step is a short suffix forward against the
     cached prefix. Exact w.r.t. the reference's full recompute.
+
+    sampler='dpm' swaps in DPM-Solver++(2M) (diffusion/dpm_solver.py) with
+    `num_dpm_steps` model evaluations — a beyond-parity serving mode: the
+    denoise loop is weight-bandwidth-bound, and 4 solver evals reach better
+    ODE accuracy than DDIM-8 (tests/test_dpm_solver.py). `sched` is then the
+    UNSPACED training schedule carried by the policy.
 
     With cfg_scale > 1, the cache is expected to hold [cond; uncond] prefix
     rows and `noise`/`proprio`/`tail_ids` the doubled batch; guided eps is
@@ -294,6 +302,10 @@ def ddim_denoise_actions(
             return jnp.concatenate([guided, guided], axis=0)
     else:
         denoise_fn = base_fn
+    if sampler == "dpm":
+        from mla_tpu.diffusion.dpm_solver import dpm_solver_pp_2m
+
+        return dpm_solver_pp_2m(sched, denoise_fn, noise, num_steps=num_dpm_steps)
     if use_ddpm:
         return gd.ddpm_sample_loop(sched, denoise_fn, noise, key=key)
     return gd.ddim_sample_loop(sched, denoise_fn, noise, eta=0.0)
@@ -457,13 +469,16 @@ class MLAPolicy:
         return self._stats(unnorm_key, "proprio")
 
     # --- jitted graph builders (cached by shape signature) ----------------
-    def _diff_fn(self, prefix_len: int, tail_len: int, use_ddpm: bool, cfg_scale: float = 0.0):
-        sig = ("diff", prefix_len, tail_len, use_ddpm, cfg_scale)
+    def _diff_fn(
+        self, prefix_len: int, tail_len: int, use_ddpm: bool, cfg_scale: float = 0.0,
+        sampler: str = "ddim", num_dpm_steps: int = 4,
+    ):
+        sig = ("diff", prefix_len, tail_len, use_ddpm, cfg_scale, sampler, num_dpm_steps)
         if sig not in self._jit_cache:
             # prefix embeds = text(prefix_len) + fused block
             embed_len = prefix_len + self.cfg.fused_len
             cache_max = embed_len + 2 + self.cfg.action_horizon + tail_len + self.cache_margin
-            sched = self.sched_full if use_ddpm else self.sched_ddim
+            sched = self.sched_full if (use_ddpm or sampler == "dpm") else self.sched_ddim
             use_cfg = cfg_scale > 1.0
 
             @jax.jit
@@ -481,6 +496,7 @@ class MLAPolicy:
                 samples = ddim_denoise_actions(
                     params, self.cfg, sched, kv, prefix.shape[1], proprio_x, tail_x,
                     noise_x, use_ddpm=use_ddpm, key=key, cfg_scale=cfg_scale,
+                    sampler=sampler, num_dpm_steps=num_dpm_steps,
                 )
                 return samples[: noise.shape[0]]
 
@@ -517,11 +533,16 @@ class MLAPolicy:
         seed: int = 0,
         input_ids: Optional[np.ndarray] = None,
         noise: Optional[np.ndarray] = None,
+        sampler: str = "ddim",
+        num_dpm_steps: int = 4,
     ) -> np.ndarray:
         """Reference predict_action_diff (model_mla.py:592-775): DDIM-8
         denoise of a [horizon, action_dim] chunk, q01/q99 unnormalized.
         `noise` overrides the seed-derived initial x_T (golden-parity runs
-        replay the reference's recorded torch.randn draw)."""
+        replay the reference's recorded torch.randn draw).
+        sampler='dpm' uses DPM-Solver++(2M) with `num_dpm_steps` model
+        evaluations — half the denoise cost of DDIM-8 at better ODE accuracy
+        (beyond-parity serving mode, diffusion/dpm_solver.py)."""
         cfg = self.cfg
         if input_ids is None:
             input_ids = build_prompt_ids(self.tokenizer, instruction, mode="diff")
@@ -552,7 +573,8 @@ class MLAPolicy:
                 1, cfg.action_horizon, cfg.action_dim
             )
         fn = self._diff_fn(
-            int(prefix_ids.shape[1]), 1, use_ddpm=not use_ddim, cfg_scale=cfg_scale
+            int(prefix_ids.shape[1]), 1, use_ddpm=not use_ddim and sampler != "dpm",
+            cfg_scale=cfg_scale, sampler=sampler, num_dpm_steps=num_dpm_steps,
         )
         samples = fn(
             self.params, self.state, prefix_ids, tail_ids, images, pc,

@@ -85,6 +85,8 @@ def run_simulator_eval(args, logger):
                     instruction=obs["instruction"],
                     cur_robot_state=obs.get("robot_state"),
                     unnorm_key=args.unnorm_key,
+                    sampler=args.sampler,
+                    num_dpm_steps=args.num_dpm_steps,
                 )
                 # execute the first action of the chunk (closed loop)
                 obs, reward, done, info = env.step(action_chunk[0])
@@ -127,7 +129,9 @@ def run_offline_trace(args, logger):
         img = add_mask_channel(clip_preprocess(images[i], policy.cfg.vision.image_size))
         t0 = time.perf_counter()
         act = policy.predict_action_diff(
-            img, _prep_pc(pointclouds[i], policy, args), instruction, unnorm_key=args.unnorm_key
+            img, _prep_pc(pointclouds[i], policy, args), instruction,
+            unnorm_key=args.unnorm_key, sampler=args.sampler,
+            num_dpm_steps=args.num_dpm_steps,
         )
         latencies.append(time.perf_counter() - t0)
         actions.append(act)
@@ -154,6 +158,12 @@ def main(argv=None):
     p.add_argument("--unnorm_key", default=None)
     p.add_argument("--output_dir", default="eval_out")
     p.add_argument("--offline_trace", default=None)
+    p.add_argument(
+        "--sampler", default="ddim", choices=["ddim", "dpm"],
+        help="dpm = DPM-Solver++(2M), half the denoise cost of DDIM-8 at "
+             "better ODE accuracy (beyond-parity serving mode)",
+    )
+    p.add_argument("--num_dpm_steps", type=int, default=4)
     p.add_argument(
         "--voxel_cell", type=float, default=None,
         help="voxel-grid cell size (m) for raw-cloud preprocessing; clouds "
