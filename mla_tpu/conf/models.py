@@ -121,17 +121,23 @@ def mla_golden(
     use_generation: bool = False,
     use_roi: bool = False,
     camera_name: str = "rlbench_front",
+    num_layers: int = 4,
+    contrastive_layer: int = 2,
     **kw,
 ) -> prismatic.MLAModelConfig:
     """Reduced-LLM config matching tests/ref_harness.build_reference_mla
-    (hidden 512, 4 layers, full-width 1024-d vision tokenizer): the
-    end-to-end golden-parity checkpoint (tests/test_golden_e2e.py). bf16
-    params/compute — the reference path hard-casts diffusion inputs to bf16
-    (models/vlm/prismatic.py:873-881), so parity mode is bf16 end-to-end."""
+    (hidden 512, full-width 1024-d vision tokenizer): the end-to-end
+    golden-parity checkpoint (tests/test_golden_e2e.py). bf16 params/compute
+    — the reference path hard-casts diffusion inputs to bf16
+    (models/vlm/prismatic.py:873-881), so parity mode is bf16 end-to-end.
+    The training golden uses num_layers=9 / contrastive_layer=8 because the
+    reference hardcodes the contrastive hook at hidden_states[8]
+    (modeling_llama.py:1274)."""
     llama_cfg = llama_mod.LlamaConfig(
-        vocab_size=32064, hidden_size=512, intermediate_size=1376, num_layers=4,
-        num_heads=8, num_kv_heads=8, max_position_embeddings=2048,
-        contrastive_layer=2, param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+        vocab_size=32064, hidden_size=512, intermediate_size=1376,
+        num_layers=num_layers, num_heads=8, num_kv_heads=8,
+        max_position_embeddings=2048, contrastive_layer=contrastive_layer,
+        param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
     )
     return prismatic.MLAModelConfig(
         llama=llama_cfg,

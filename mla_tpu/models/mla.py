@@ -71,6 +71,8 @@ def mla_train_loss(
     repeated_diffusion_steps: int = 4,
     remat: bool = True,
     use_flash: Optional[bool] = None,
+    override_noise: Optional[jnp.ndarray] = None,
+    override_t: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]]:
     """One training forward returning (total_loss, (loss_dict, new_state)).
 
@@ -78,6 +80,9 @@ def mla_train_loss(
     `repeated_diffusion_steps` times with independent (noise, t) draws,
     q-samples the future-action window, and sums
     diff MSE + generation + contrastive losses.
+
+    override_noise / override_t replace the rng draws (shape [B*rep, ...]) —
+    golden-parity runs replay the reference's recorded torch draws.
     """
     k_noise, k_t, k_model = jax.random.split(rng, 3)
     zeros = jnp.asarray(0.0, jnp.float32)
@@ -98,8 +103,14 @@ def mla_train_loss(
         actions = rbatch["actions"]  # [B*rep, horizon, action_dim]
         actions_future = actions[:, -cfg.action_horizon :, :]
         Br = actions_future.shape[0]
-        noise = jax.random.normal(k_noise, actions_future.shape, jnp.float32)
-        t = jax.random.randint(k_t, (Br,), 0, sched.num_timesteps)
+        if override_noise is not None:
+            noise = jnp.asarray(override_noise, jnp.float32).reshape(actions_future.shape)
+        else:
+            noise = jax.random.normal(k_noise, actions_future.shape, jnp.float32)
+        if override_t is not None:
+            t = jnp.asarray(override_t, jnp.int32).reshape((Br,))
+        else:
+            t = jax.random.randint(k_t, (Br,), 0, sched.num_timesteps)
         x = gd.q_sample(sched, actions_future.astype(jnp.float32), t, noise)
         rbatch = {**rbatch, "x": x, "t": t}
         # the reference computes the LM CE in diffusion mode too but discards

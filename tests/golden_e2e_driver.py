@@ -46,23 +46,30 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 INSTRUCTION = "close the box"
 
 
-def run_reference(workdir: str):
+def run_reference(workdir: str, use_pointcloud: bool = False):
     import numpy as np
     import torch
     from PIL import Image
 
     from tests import ref_harness as rh
 
-    mla, tok = rh.build_reference_mla()
+    mla, tok = rh.build_reference_mla(
+        use_pointcloud=use_pointcloud, use_contrastive=use_pointcloud
+    )
     # the reference hard-casts diffusion inputs to bf16 (prismatic.py:873-881)
     # which clashes with fp32 weights on CPU; bf16 end-to-end is also what the
-    # real 7B deployment runs
+    # real 7B deployment runs. The pointcloud path additionally up-casts its
+    # inputs to fp32 (pointvit.py forward), so it needs autocast on top.
     mla = mla.to(torch.bfloat16).eval()
 
     rng = np.random.default_rng(0)
     img_uint8 = rng.integers(0, 255, size=(672, 672, 3), dtype=np.uint8)
     pil = Image.fromarray(img_uint8)
-    pc = torch.tensor(rng.uniform(-0.5, 0.5, size=(1024, 3)).astype(np.float32))
+    pc = torch.tensor(
+        rng.uniform([-0.3, -0.45, 0.75], [0.7, 0.45, 1.6], size=(1024, 3)).astype(np.float32)
+    )[None] if use_pointcloud else torch.tensor(
+        rng.uniform(-0.5, 0.5, size=(1024, 3)).astype(np.float32)
+    )
     state7 = rng.uniform(-0.2, 0.9, size=7).astype(np.float32)
 
     # camera_name bug workaround (unused with use_pointcloud=False)
@@ -94,24 +101,52 @@ def run_reference(workdir: str):
 
     mla.create_ddim = create_and_wrap
 
+    # capture the FIRST denoise step's eps prediction: the most
+    # model-dependent quantity that is NOT amplified by the recursive
+    # sampling loop — this is where parity is asserted tightly
+    eps_steps = []
+    orig_vlm_fwd = mla.vlm.forward
+
+    def capture_fwd(*a, **k):
+        out = orig_vlm_fwd(*a, **k)
+        if isinstance(out, tuple) and len(out) == 2:
+            eps_steps.append(out[1].detach().float().cpu().numpy().copy())
+        return out
+
+    mla.vlm.forward = capture_fwd
+
     torch.randn = rec_randn
     torch.manual_seed(123)
     try:
-        diff_actions = mla.predict_action_diff(
-            image=pil, pointcloud=pc, instruction=INSTRUCTION,
-            unnorm_key="rlbench", cur_robot_state=state7,
+        import contextlib
+
+        ac = (
+            torch.autocast("cpu", dtype=torch.bfloat16)
+            if use_pointcloud
+            else contextlib.nullcontext()
         )
+        with ac:
+            diff_actions = mla.predict_action_diff(
+                image=pil, pointcloud=pc, instruction=INSTRUCTION,
+                unnorm_key="rlbench", cur_robot_state=state7,
+            )
     finally:
         torch.randn = orig_randn
 
-    ar_ids, ar_actions = _ref_predict_ar_fixed(mla, pil, pc, state7, tok)
+    if use_pointcloud:
+        ar_ids = ar_actions = None
+    else:
+        ar_ids, ar_actions = _ref_predict_ar_fixed(mla, pil, pc, state7, tok)
 
     rh.export_reference_run_dir(mla, workdir)
     return {
-        "img_uint8": img_uint8, "pc": pc.numpy(), "state7": state7,
+        "img_uint8": img_uint8,
+        "pc": (pc[0] if use_pointcloud else pc).numpy(), "state7": state7,
         "noise": recorded[0], "raw_samples": raw["x"],
+        "eps0": eps_steps[0],
         "diff_actions": np.asarray(diff_actions),
-        "ar_ids": np.asarray(ar_ids), "ar_actions": np.asarray(ar_actions),
+        "ar_ids": None if ar_ids is None else np.asarray(ar_ids),
+        "ar_actions": None if ar_actions is None else np.asarray(ar_actions),
     }, tok
 
 
@@ -156,7 +191,7 @@ def _ref_predict_ar_fixed(mla, pil, pc, state7, tok):
     return tok_ids, 0.5 * (norm + 1) * (ahi - alo) + alo
 
 
-def run_ours(workdir: str, golden, tok):
+def run_ours(workdir: str, golden, tok, with_ar: bool = True):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -188,6 +223,25 @@ def run_ours(workdir: str, golden, tok):
     )
     ours_raw = np.asarray(samples[0])
 
+    # first-step eps through our prefix-KV-cached suffix path
+    from mla_tpu.diffusion import gaussian as gd
+
+    sched8 = gd.create_schedule("ddim8", diffusion_steps=100)
+    cache_max = int(prefix_ids.shape[1]) + policy.cfg.fused_len + 2 + policy.cfg.action_horizon + 1 + policy.cache_margin
+    prefix_embeds = mla_mod.build_prefix_embeds(
+        policy.params, policy.state, policy.cfg, prefix_ids,
+        {"front_image": jnp.asarray(img[None])}, jnp.asarray(golden["pc"][None]),
+    )
+    kv, _ = mla_mod.prefill(policy.params, policy.cfg, prefix_embeds, cache_max, compute_logits=False)
+    dfn = mla_mod.make_suffix_denoise_fn(
+        policy.params, policy.cfg, kv, int(prefix_embeds.shape[1]),
+        jnp.asarray(prop[None, None, :]), tail_ids,
+    )
+    t0 = jnp.full((1,), int(sched8.timestep_map[-1]), jnp.int32)
+    ours_eps0 = np.asarray(dfn(jnp.asarray(golden["noise"].reshape(1, 16, 7)), t0))
+
+    if not with_ar:
+        return ours_diff, ours_raw, None, None, ours_eps0
     ours_ar = policy.predict_action_ar(img, golden["pc"], INSTRUCTION, unnorm_key="rlbench")
     # the raw greedy token ids for the exact-match check
     ar_ids_in = mla_mod.build_prompt_ids(tok, INSTRUCTION, mode="ar")
@@ -197,7 +251,26 @@ def run_ours(workdir: str, golden, tok):
         {"front_image": jnp.asarray(img[None])}, jnp.asarray(golden["pc"][None]),
         jnp.zeros((1, 1, policy.cfg.action_dim), jnp.float32),
     )
-    return ours_diff, ours_raw, np.asarray(ours_ar), np.asarray(toks[0])
+    return ours_diff, ours_raw, np.asarray(ours_ar), np.asarray(toks[0]), ours_eps0
+
+
+def _zero_eps_transform(noise):
+    """What the DDIM-8 loop produces when the model predicts eps == 0 — the
+    degenerate (model-independent) output a freshly zero-initialized eps head
+    yields (prismatic.py:320-321). The recorded samples must differ from
+    this, or the golden is vacuous."""
+    import numpy as np
+
+    from mla_tpu.diffusion import gaussian as gd
+
+    sched = gd.create_schedule("ddim8", diffusion_steps=100)
+    acp = np.asarray(sched.alphas_cumprod)
+    acp_prev = np.asarray(sched.alphas_cumprod_prev)
+    x = np.asarray(noise, np.float64)
+    for t in range(sched.num_timesteps - 1, -1, -1):
+        # ddim update with eps = 0: x0 = x / sqrt(acp); x' = sqrt(acp_prev) x0
+        x = np.sqrt(acp_prev[t]) * (x / np.sqrt(acp[t]))
+    return x.astype(np.float32)
 
 
 def main():
@@ -205,20 +278,43 @@ def main():
 
     import numpy as np
 
-    workdir = tempfile.mkdtemp(prefix="golden_e2e_")
-    golden, tok = run_reference(workdir)
-    ours_diff, ours_raw, ours_ar, ours_ar_ids = run_ours(workdir, golden, tok)
+    results = {}
+    for scenario, use_pc in (("base", False), ("pointcloud", True)):
+        workdir = tempfile.mkdtemp(prefix=f"golden_e2e_{scenario}_")
+        golden, tok = run_reference(workdir, use_pointcloud=use_pc)
+        ours_diff, ours_raw, ours_ar, ours_ar_ids, ours_eps0 = run_ours(
+            workdir, golden, tok, with_ar=not use_pc
+        )
 
-    ref_raw = golden["raw_samples"][0]
-    rel = np.abs(ours_raw - ref_raw) / (np.abs(ref_raw) + 1e-3)
-    result = {
-        "diff_max_abs_err": float(np.abs(ours_diff - golden["diff_actions"]).max()),
-        "raw_max_rel_err": float(rel.max()),
-        "raw_std": float(ref_raw.std()),
-        "ar_ids_equal": bool((ours_ar_ids.reshape(-1) == golden["ar_ids"].reshape(-1)).all()),
-        "ar_max_abs_err": float(np.abs(ours_ar - golden["ar_actions"]).max()),
-    }
-    print("GOLDEN_E2E_RESULT " + json.dumps(result))
+        ref_raw = golden["raw_samples"][0]
+        rel = np.abs(ours_raw - ref_raw) / (np.abs(ref_raw) + 1e-3)
+        ref_eps0 = golden["eps0"].reshape(ours_eps0.shape)
+        eps_rel = np.abs(ours_eps0 - ref_eps0) / (np.abs(ref_eps0).max() + 1e-6)
+        degenerate = _zero_eps_transform(golden["noise"].reshape(ref_raw.shape))
+        r = {
+            "diff_max_abs_err": float(np.abs(ours_diff - golden["diff_actions"]).max()),
+            # eps at the first denoise step: the full model forward WITHOUT
+            # the sampling recursion's chaotic amplification — the tight check
+            # (mean is the robust statistic; max catches single-element tails
+            # of the bf16 rounding distribution)
+            "eps0_max_rel_err": float(eps_rel.max()),
+            "eps0_mean_rel_err": float(eps_rel.mean()),
+            "eps0_scale": float(np.abs(ref_eps0).max()),
+            "raw_max_rel_err": float(rel.max()),
+            "raw_std": float(ref_raw.std()),
+            # non-vacuous: the recorded chunk must depend on the model, not
+            # just on the input noise
+            "model_dependence": float(
+                np.abs(ref_raw - degenerate).max() / (np.abs(ref_raw).max() + 1e-6)
+            ),
+        }
+        if ours_ar_ids is not None:
+            r["ar_ids_equal"] = bool(
+                (ours_ar_ids.reshape(-1) == golden["ar_ids"].reshape(-1)).all()
+            )
+            r["ar_max_abs_err"] = float(np.abs(ours_ar - golden["ar_actions"]).max())
+        results[scenario] = r
+    print("GOLDEN_E2E_RESULT " + json.dumps(results))
 
 
 if __name__ == "__main__":

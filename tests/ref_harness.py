@@ -286,12 +286,17 @@ def build_reference_mla(
     intermediate: int = 1376,
     seed: int = 0,
     norm_stats=None,
+    use_pointcloud: bool = False,
+    use_contrastive: bool = False,
 ):
     """Construct the reference MLA at reduced LLM size on CPU, fp32, no
     downloads: the vendored modified LlamaForCausalLM is built from a local
     LlamaConfig via monkeypatched AutoConfig/AutoTokenizer, then composed
     through the reference's own LLaMa2LLMBackbone -> PrismaticVLM -> MLA
-    stack (use_diff on; pointcloud/generation off = BASELINE config 1).
+    stack (use_diff on; generation off). With use_pointcloud the FULL
+    Point_PN tokenizer (1024 pts, k=81, out 384 -> proj 768) joins the
+    composition; its stochastic FPS start (Point_PN.py:10 torch.randint) is
+    pinned to start-at-0 to match our deterministic serving FPS.
 
     Returns (mla, tokenizer)."""
     install()
@@ -325,15 +330,44 @@ def build_reference_mla(
     )
     backbone.llm = backbone.llm.float().eval()
 
+    if use_pointcloud:
+        import models.mla.pointcloud.backbone.Point_PN as ref_point_pn
+
+        def det_fps(xyz, npoint):
+            B, N, _ = xyz.shape
+            fps_idx = torch.zeros(B, npoint, dtype=torch.long)
+            farthest = torch.zeros(B, dtype=torch.long)
+            distance = torch.ones(B, N) * 1e10
+            for i in range(npoint):
+                fps_idx[:, i] = farthest
+                centroid = xyz[torch.arange(B), farthest, :].view(B, 1, 3)
+                dist = torch.sum((xyz - centroid) ** 2, -1)
+                m = dist < distance
+                distance[m] = dist[m]
+                farthest = torch.max(distance, -1)[1]
+            return fps_idx
+
+        ref_point_pn.furthest_point_sample = det_fps
+
     from models.vlm.prismatic import PrismaticVLM
 
     stats = norm_stats or default_norm_stats()
     vlm = PrismaticVLM(
         "golden", backbone, enable_mixed_precision_training=False,
         action_dim=7, token_size=hidden, future_action_window_size=15,
-        norm_stats=stats, use_diff=True, use_pointcloud=False,
-        use_tactile=False, use_contrastive=False, use_generation=False,
+        norm_stats=stats, use_diff=True, use_pointcloud=use_pointcloud,
+        use_tactile=False, use_contrastive=use_contrastive,
+        use_generation=False,
     ).float().eval()
+
+    # the reference ZERO-initializes the eps head (DiT convention,
+    # prismatic.py:320-321), which makes a fresh model predict eps == 0 —
+    # the diffusion output would then be a model-independent transform of
+    # the input noise and the golden would test nothing. Randomize it so the
+    # recorded chunk actually depends on every upstream module.
+    with torch.no_grad():
+        torch.nn.init.normal_(vlm.final_layer.mlp.fc2.weight, std=1e-2)
+        torch.nn.init.normal_(vlm.final_layer.mlp.fc2.bias, std=1e-2)
 
     from models.mla.model_mla import MLA
     from vla import ActionTokenizer
@@ -341,8 +375,8 @@ def build_reference_mla(
     mla = MLA(
         vlm, ActionTokenizer(tokenizer), token_size=hidden, action_dim=7,
         future_action_window_size=15, norm_stats=stats, use_diff=True,
-        use_pointcloud=False, use_tactile=False, use_contrastive=False,
-        use_generation=False,
+        use_pointcloud=use_pointcloud, use_tactile=False,
+        use_contrastive=use_contrastive, use_generation=False,
     ).float().eval()
     return mla, tokenizer
 
@@ -374,8 +408,10 @@ def export_reference_run_dir(mla, run_dir, norm_stats=None):
     run_dir = Path(run_dir)
     (run_dir / "checkpoints").mkdir(parents=True, exist_ok=True)
     flags = {
-        "use_diff": True, "use_pointcloud": False, "use_tactile": False,
-        "use_contrastive": False, "use_generation": False, "use_roi": False,
+        "use_diff": bool(mla.use_diff), "use_pointcloud": bool(mla.use_pointcloud),
+        "use_tactile": bool(mla.use_tactile),
+        "use_contrastive": bool(mla.use_contrastive),
+        "use_generation": bool(mla.use_generation), "use_roi": False,
         "action_dim": 7, "future_action_window_size": 15,
     }
     (run_dir / "config.json").write_text(json.dumps({"train": flags}))
