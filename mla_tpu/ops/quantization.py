@@ -108,23 +108,21 @@ def quantize_model_host(params: Dict[str, Any]) -> Dict[str, Any]:
 # int4 weight-only quantization (W4A8 serving)
 # --------------------------------------------------------------------------- #
 #
-# Nibble-packed int4 weights halve the HBM read bytes again vs int8 — the
-# serving suffix-denoise steps are weight-bandwidth-bound (docs/kernels.md
-# phase split), so this directly buys latency. Two environment quirks shape
-# the representation:
-#   * jnp.int4 arrays cannot cross this box's host->device transfer layer,
-#     so weights are STORED as packed int8 [K/2, N] (two nibbles per byte)
-#     and bitcast to int4 inside the consuming jit program;
-#   * XLA TPU consumes the int4 operand natively in `dot_general` — measured
-#     2.7x faster than the int8 dot at decode shapes (nibble reads only, no
-#     materialized unpack) — so no Pallas kernel is needed (the remote
-#     compile service also rejects Pallas calls inside 7B programs).
+# Nibble-packed int4 weights halve weight STORAGE vs int8 (3.4 GB for the
+# 7B backbone). On the current toolchain this is a MEMORY mode, not a
+# latency mode: XLA lowers the s4-operand dot through a slow VPU path on
+# the target chip (~113 ms/decode-step vs int8's ~10.7, measured in the
+# integrated 7B graph across per-channel/grouped and K-/N-packed layouts),
+# and a Pallas kernel cannot beat it either — VPU converts run at ~1e12
+# elem/s, so any in-VMEM unpack/dequant of 6.7e9 weights costs more than
+# the int8 bandwidth it saves (docs/kernels.md "Round-2 updates").
+# Environment quirk: jnp.int4 arrays cannot cross this box's host->device
+# transfer layer, so weights are STORED as packed int8 and bitcast to int4
+# inside the consuming jit program.
 #
-# Packing layout matches `bitcast_convert_type(int8 -> int4)` followed by
-# swapaxes+reshape: byte[i, n] = (w[2i, n] & 0xF) | (w[2i+1, n] << 4), i.e.
-# the LOW nibble is the even row. Scales are per-(group, out-channel) with
-# `group_size` rows per group (int4 per-channel-only is too lossy; group-128
-# is the standard operating point).
+# Scales are per-(group, out-channel) with `group_size` rows per group
+# (int4 per-channel-only is too lossy; group-128 is the standard operating
+# point).
 
 
 def pack_int4(q) -> jnp.ndarray:
