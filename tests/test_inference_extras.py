@@ -204,3 +204,48 @@ def test_eval_rlbench_offline_trace(tmp_path):
     assert blob["actions"].shape == (2, cfg.action_horizon, cfg.action_dim)
     assert np.isfinite(blob["actions"]).all()
     assert blob["latencies"].shape == (2,)
+
+
+def test_eval_rlbench_offline_trace_dpm_and_voxel(tmp_path):
+    """The new serving CLI paths through the offline harness: DPM-Solver
+    sampling (--sampler dpm) and raw-cloud preprocessing (--voxel_cell on
+    oversized clouds)."""
+    import importlib
+    import sys
+
+    from mla_tpu.conf.vla import get_vla_config
+    from mla_tpu.training import checkpointing as ckpt
+    from mla_tpu.training import optim, strategy
+
+    cfg = tiny_config()
+    params, mstate = tiny_model(cfg)
+    tx, _, _ = optim.make_optimizer(params, num_training_steps=10)
+    state = strategy.init_train_state(params, tx, mstate)
+    run_dir = tmp_path / "run"
+    stats = {"rlbench": {"action": {"q01": [-1.0] * 7, "q99": [1.0] * 7},
+                         "proprio": {"q01": [-1.0] * 7, "q99": [1.0] * 7}}}
+    ckpt.write_run_metadata(run_dir, get_vla_config("mla-tiny-debug"), cfg, stats)
+    ckpt.save_checkpoint(run_dir, state, step=1, epoch=0, loss=0.5)
+
+    rng = np.random.default_rng(1)
+    trace = tmp_path / "trace.npz"
+    np.savez(
+        trace,
+        images=rng.integers(0, 255, size=(1, 96, 128, 3), dtype=np.uint8),
+        # RAW oversized clouds: 3x the model's input_points
+        point_clouds=rng.uniform(-0.3, 0.7, size=(1, 3 * cfg.point.input_points, 3)).astype(np.float32),
+        instruction="close the box",
+    )
+
+    sys.path.insert(0, "scripts")
+    eval_mod = importlib.import_module("eval_rlbench")
+    rc = eval_mod.main([
+        "--run_dir", str(run_dir), "--model", "mla-tiny",
+        "--offline_trace", str(trace), "--output_dir", str(tmp_path / "out"),
+        "--unnorm_key", "rlbench", "--sampler", "dpm", "--num_dpm_steps", "3",
+        "--voxel_cell", "0.02",
+    ])
+    assert rc == 0
+    blob = np.load(tmp_path / "out" / "predicted_actions.npz")
+    assert blob["actions"].shape == (1, cfg.action_horizon, cfg.action_dim)
+    assert np.isfinite(blob["actions"]).all()
