@@ -124,3 +124,30 @@ def test_simple_tokenizer_determinism():
     b = tok("close the box")["input_ids"]
     assert a == b and a[0] == 1
     assert tok("<BOD><EOD>")["input_ids"][1:] == [32001, 32002]
+
+
+def test_bench_emit_json_contract(capsys):
+    """The driver parses bench.py's single JSON line; pin the schema keys
+    and the net-of-RTT metric derivation."""
+    import json
+    import sys
+
+    sys.path.insert(0, ".")
+    import bench
+
+    bench._emit(
+        {"p50_s": 0.139, "p90_s": 0.145, "mean_s": 0.14, "rtt_s": 0.026,
+         "transfer_ms": 100.0, "batch_chunks_per_sec": 14.8,
+         "dpm4_chunks_per_sec": 14.5, "throughput_batch": 4},
+        "mla-7b-int8", "tpu",
+    )
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["metric"] == "action_chunks_per_sec_chip"
+    assert out["unit"] == "chunks/s"
+    # value is derived from p50 NET of the measured dispatch RTT
+    assert abs(out["value"] - 1.0 / (0.139 - 0.026)) < 1e-2
+    assert out["p50_ms"] == 139.0 and out["p50_net_ms"] == 113.0
+    assert out["vs_baseline"] == round(out["value"] / 2.3, 3)
+    for k in ("dispatch_rtt_ms", "batch_chunks_per_sec", "dpm4_chunks_per_sec",
+              "baseline_note", "model", "backend", "ddim_steps"):
+        assert k in out, k
