@@ -557,3 +557,148 @@ def test_droid_zero_action_filter():
     real_frame = {"action": tf.constant(np.ones((1, 7), np.float32))}
     assert not bool(ox.droid_zero_action_filter(zero_frame))
     assert bool(ox.droid_zero_action_filter(real_frame))
+
+
+# --------------------------------------------------------------------------- #
+# remaining mixture-member datasets (round 2: every dataset appearing in a
+# shipped mixture has a raw-schema test)
+# --------------------------------------------------------------------------- #
+
+
+def _invert01(a):
+    return 1.0 - np.clip(np.asarray(a), 0.0, 1.0)
+
+
+def test_austin_buds_sailor_sirius_mutex_raw_schema():
+    """The four clip+invert-gripper LIBERO-style datasets (reference
+    transforms.py:376-498,668-684): action[:, :6] passthrough, gripper
+    inverted after [0,1] clip; buds/mutex additionally slice state[:, :8]."""
+    for name, state_dim in (
+        ("austin_buds_dataset_converted_externally_to_rlds", 24),
+        ("austin_sailor_dataset_converted_externally_to_rlds", 8),
+        ("austin_sirius_dataset_converted_externally_to_rlds", 8),
+        ("utaustin_mutex", 24),
+    ):
+        act = _f(7)
+        raw = {
+            "observation": {"image": _img(), "wrist_image": _img(),
+                            "state": _f(state_dim)},
+            "action": act,
+            "language_instruction": _lang(),
+        }
+        out = _run(name, raw)
+        np.testing.assert_allclose(out["action"][:, :6], act[:, :6], atol=1e-6)
+        np.testing.assert_allclose(
+            out["action"][:, 6], _invert01(act[:, 6]), atol=1e-6, err_msg=name
+        )
+        assert out["observation"]["proprio"].shape[-1] == 8, name
+
+
+def test_berkeley_cable_routing_raw_schema():
+    """Dict action without a gripper channel -> zeros appended
+    (transforms.py:187-201); instruction lifted from the observation."""
+    wv, rd = _f(3), _f(3)
+    raw = {
+        "observation": {"image": _img(), "top_image": _img(), "wrist45_image": _img(),
+                        "robot_state": _f(7),
+                        "natural_language_instruction": _lang()},
+        "action": {"world_vector": wv, "rotation_delta": rd},
+    }
+    out = _run("berkeley_cable_routing", raw)
+    np.testing.assert_allclose(out["action"][:, :3], wv, atol=1e-6)
+    np.testing.assert_allclose(out["action"][:, 3:6], rd, atol=1e-6)
+    np.testing.assert_allclose(out["action"][:, 6], 0.0)
+
+
+def test_toto_raw_schema():
+    """Bool open_gripper cast to float as the gripper channel
+    (transforms.py:283-296)."""
+    wv, rd = _f(3), _f(3)
+    grip = np.asarray([True, False, True, True, False, False])[:T_LEN]
+    raw = {
+        "observation": {"image": _img(), "state": _f(7),
+                        "natural_language_instruction": _lang()},
+        "action": {"world_vector": wv, "rotation_delta": rd, "open_gripper": grip},
+    }
+    out = _run("toto", raw)
+    np.testing.assert_allclose(out["action"][:, 6], grip.astype(np.float32))
+
+
+def test_berkeley_rpt_rejected_like_reference():
+    """berkeley_rpt carries JOINT_POS actions; the reference materializer
+    only supports EEF-style encodings (oxe/materialize.py:35) and raises —
+    ours matches that contract."""
+    with pytest.raises(ValueError, match="EEF"):
+        make_oxe_dataset_kwargs("berkeley_rpt_converted_externally_to_rlds", "/tmp/none")
+
+
+def test_dlr_edan_raw_schema():
+    """Gripper inverted WITHOUT clipping (transforms.py:611-621)."""
+    act = _f(7)
+    raw = {
+        "observation": {"image": _img(), "state": _f(8)},
+        "action": act,
+        "language_instruction": _lang(),
+    }
+    out = _run("dlr_edan_shared_control_converted_externally_to_rlds", raw)
+    np.testing.assert_allclose(out["action"][:, 6], 1.0 - act[:, 6], atol=1e-6)
+
+
+def test_dobbe_and_fmb_raw_schema():
+    """Batched-feature datasets: dobbe proprio = state (transforms.py:772);
+    fmb proprio = eef_pose | state_gripper_pose[..., None] (:760-770)."""
+    act = _f(7)
+    raw = {
+        "observation": {"wrist_image": _img(), "state": _f(8)},
+        "action": act,
+        "language_instruction": _lang(),
+    }
+    out = _run("dobbe", raw)
+    np.testing.assert_allclose(out["observation"]["proprio"], raw["observation"]["state"], atol=1e-6)
+
+    eef = _f(6)
+    gp = RNG.normal(size=(T_LEN,)).astype(np.float32)
+    raw = {
+        "observation": {"image_side_1": _img(), "image_side_2": _img(),
+                        "image_wrist_1": _img(), "eef_pose": eef,
+                        "state_gripper_pose": gp},
+        "action": act,
+        "language_instruction": _lang(),
+    }
+    out = _run("fmb_dataset", raw)
+    np.testing.assert_allclose(out["observation"]["proprio"][:, :6], eef, atol=1e-6)
+    np.testing.assert_allclose(out["observation"]["proprio"][:, 6], gp, atol=1e-6)
+
+
+def test_maniskill_raw_schema():
+    """gripper_state synthesized from state[..., 7:8] (transforms.py:415-417)
+    and concatenated behind tcp_pose in the proprio."""
+    act = _f(7)
+    state = _f(10)
+    tcp = _f(7)
+    raw = {
+        "observation": {"image": _img(), "wrist_image": _img(),
+                        "state": state, "tcp_pose": tcp},
+        "action": act,
+        "language_instruction": _lang(),
+    }
+    out = _run("maniskill_dataset_converted_externally_to_rlds", raw)
+    np.testing.assert_allclose(out["observation"]["proprio"][:, :7], tcp, atol=1e-6)
+    np.testing.assert_allclose(out["observation"]["proprio"][:, 7], state[:, 7], atol=1e-6)
+
+
+def test_stanford_robocook_raw_schema():
+    """eef_state/gripper_state synthesized from state slices
+    (transforms.py:629-633), padded proprio via the None column."""
+    act = _f(7)
+    state = _f(7)
+    raw = {
+        "observation": {"image_1": _img(), "image_2": _img(), "state": state},
+        "action": act,
+        "language_instruction": _lang(),
+    }
+    out = _run("stanford_robocook_converted_externally_to_rlds", raw)
+    prop = out["observation"]["proprio"]
+    np.testing.assert_allclose(prop[:, :6], state[:, :6], atol=1e-6)
+    np.testing.assert_allclose(prop[:, 6], 0.0)  # None column pads with zeros
+    np.testing.assert_allclose(prop[:, 7], state[:, -1], atol=1e-6)
