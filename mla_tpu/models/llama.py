@@ -131,6 +131,7 @@ def _layer_fn(
     cache_len,
     use_flash: Optional[bool],
     cache_read_only: bool = False,
+    inflight_mask: Optional[jnp.ndarray] = None,
 ):
     """One decoder layer. cache_kv: (k_cache, v_cache) [B,Hkv,Smax,hd] or None.
     Returns (h, (new_k_cache, new_v_cache)).
@@ -188,6 +189,11 @@ def _layer_fn(
         qi = jnp.arange(S)[:, None]
         ki = jnp.arange(S)[None, :]
         s_new = jnp.where((ki > qi)[None, None], -jnp.inf, s_new)
+        if inflight_mask is not None:
+            # in-flight positions occupy cache slots [cache_len, cache_len+S);
+            # apply their key-validity bits so padded in-flight tokens mask
+            # identically to the write-then-attend path
+            s_new = jnp.where(inflight_mask[:, None, None, :], s_new, -jnp.inf)
         attn = jax.nn.softmax(jnp.concatenate([s_cache, s_new], axis=-1), axis=-1)
         attn = attn.astype(v_rep.dtype)
         out = jnp.einsum(
@@ -302,6 +308,12 @@ def llama_forward(
     cos_table = jnp.asarray(cos_table)
     sin_table = jnp.asarray(sin_table)
 
+    # the in-flight key-validity bits for the read-only path are loop-invariant
+    # across layers — slice them once here, not per layer
+    inflight_mask = None
+    if cache_read_only and key_mask is not None:
+        inflight_mask = jax.lax.dynamic_slice_in_dim(key_mask, cache_len, S, axis=1)
+
     layer = partial(
         _layer_fn,
         cfg=cfg,
@@ -312,6 +324,7 @@ def llama_forward(
         cache_len=cache_len,
         use_flash=use_flash,
         cache_read_only=cache_read_only,
+        inflight_mask=inflight_mask,
     )
     if remat:
         layer = jax.checkpoint(layer, prevent_cse=False)

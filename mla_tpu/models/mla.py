@@ -583,8 +583,13 @@ class MLAPolicy:
             noise = jnp.asarray(noise, jnp.float32).reshape(
                 1, cfg.action_horizon, cfg.action_dim
             )
+        if sampler == "dpm" and not use_ddim:
+            raise ValueError(
+                "sampler='dpm' is an ODE sampler and conflicts with use_ddim=False "
+                "(DDPM ancestral sampling); pass use_ddim=True or sampler='ddim'"
+            )
         fn = self._diff_fn(
-            int(prefix_ids.shape[1]), 1, use_ddpm=not use_ddim and sampler != "dpm",
+            int(prefix_ids.shape[1]), 1, use_ddpm=not use_ddim,
             cfg_scale=cfg_scale, sampler=sampler, num_dpm_steps=num_dpm_steps,
         )
         samples = fn(

@@ -141,9 +141,12 @@ def prepare_pointcloud(
          resampling with replacement when under.
     """
     pts = np.ascontiguousarray(np.asarray(points, np.float32).reshape(-1, 3))
-    if cell is not None and pts.shape[0] > target_n:
+    if cell is not None:
+        # apply the voxel pass whenever a cell is given — an exact-size dense
+        # cloud with duplicate returns still deduplicates (and is re-upsampled
+        # to target_n below if the pass leaves it short)
         idx = grid_subsample(pts, cell)
-        if idx.shape[0] >= target_n:
+        if idx.shape[0] > 0:
             pts = pts[idx]
     n = pts.shape[0]
     rng = np.random.default_rng(seed)

@@ -174,11 +174,14 @@ def quantize_weight_int4(w, group_size: int = 128):
 
 
 def dequantize_weight_int4(p, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Inverse of quantize_weight_int4; handles the same leading batch dims
+    (stacked [L, K, N] layer leaves) as pack/unpack do."""
     q = unpack_int4_reference(p["w_q4"])
-    K, N = q.shape
-    G = p["w_scale4"].shape[0]
-    w = q.astype(jnp.float32).reshape(G, K // G, N) * p["w_scale4"][:, None, :]
-    return w.reshape(K, N).astype(dtype)
+    lead = q.shape[:-2]
+    K, N = q.shape[-2:]
+    G = p["w_scale4"].shape[-2]
+    w = q.astype(jnp.float32).reshape(lead + (G, K // G, N)) * p["w_scale4"][..., :, None, :]
+    return w.reshape(lead + (K, N)).astype(dtype)
 
 
 def int4_linear(p: Dict[str, Any], x: jnp.ndarray, *, native: bool = True) -> jnp.ndarray:

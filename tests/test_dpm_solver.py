@@ -12,6 +12,7 @@ this testbed, which is why the solvers are NOT compared against it.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mla_tpu.diffusion import gaussian as gd
 from mla_tpu.diffusion.dpm_solver import dpm_solver_pp_2m
@@ -113,3 +114,10 @@ def test_policy_dpm_sampler_end_to_end():
     a_ddim = policy.predict_action_diff(img, pc, "x", input_ids=ids, seed=0)
     assert a_dpm.shape == a_ddim.shape == (cfg.action_horizon, cfg.action_dim)
     assert np.isfinite(a_dpm).all()
+
+    # conflicting request: dpm is an ODE sampler — combining it with an
+    # explicit DDPM (use_ddim=False) ask must be rejected, not overridden
+    with pytest.raises(ValueError, match="dpm"):
+        policy.predict_action_diff(
+            img, pc, "x", input_ids=ids, sampler="dpm", use_ddim=False
+        )

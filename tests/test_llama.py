@@ -209,3 +209,26 @@ def test_cache_read_only_decode_matches_write_path():
     )
     # cache is returned untouched (same contents as the prefill cache)
     np.testing.assert_array_equal(np.asarray(out_r["kv_cache"]["k"]), np.asarray(kv["k"]))
+
+    # padded IN-FLIGHT positions mask identically in both paths: declare the
+    # last suffix token invalid via the key mask and compare hidden states at
+    # the still-valid positions
+    mask_pad = mask_s & (jnp.arange(CM) != P + S - 1)[None, :]
+    out_w2 = llama.llama_forward(
+        params, cfg, suffix, kv_cache=kv, cache_len=P, key_mask=mask_pad,
+        compute_logits=False, scan_unroll=cfg.num_layers,
+    )
+    out_r2 = llama.llama_forward(
+        params, cfg, suffix, kv_cache=kv, cache_len=P, key_mask=mask_pad,
+        compute_logits=False, scan_unroll=cfg.num_layers, cache_read_only=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_r2["last_hidden"]),
+        np.asarray(out_w2["last_hidden"]),
+        atol=1e-5, rtol=1e-5,
+    )
+    # and the mask is actually load-bearing: the query AT the masked position
+    # (the only one that causally attends to that key) changes vs all-valid
+    assert np.abs(
+        np.asarray(out_r2["last_hidden"][:, -1]) - np.asarray(out_r["last_hidden"][:, -1])
+    ).max() > 1e-4

@@ -85,3 +85,12 @@ def test_prepare_pointcloud_paths():
 
     exact = dense[:512]
     np.testing.assert_array_equal(prepare_pointcloud(exact, 512), exact)
+
+    # --voxel_cell is honored even on exact-size clouds: a dense cloud of
+    # duplicate sensor returns deduplicates through the voxel pass and is
+    # re-upsampled to target_n afterwards
+    dup = np.repeat(dense[:64], 8, axis=0)  # 512 points, 64 unique
+    out_dup = prepare_pointcloud(dup, 512, cell=0.05)
+    assert out_dup.shape == (512, 3)
+    uniq = {tuple(p) for p in np.round(out_dup, 6)}
+    assert len(uniq) <= 64

@@ -128,6 +128,20 @@ def test_int4_quantize_dequantize_error_bound():
     assert (np.abs(wd - w) <= bound).all()
 
 
+def test_int4_dequantize_stacked_layer_leaves():
+    """dequantize_weight_int4 handles the stacked [L, K, N] leaves
+    quantize_weight_int4 produces for scan-stacked layers, matching the
+    per-layer 2-D path exactly."""
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(3, 256, 64)).astype(np.float32)
+    p = q.quantize_weight_int4(jnp.asarray(w), group_size=128)
+    wd = np.asarray(q.dequantize_weight_int4(p, jnp.float32))
+    assert wd.shape == w.shape
+    for i in range(3):
+        p_i = {"w_q4": p["w_q4"][i], "w_scale4": p["w_scale4"][i]}
+        np.testing.assert_array_equal(wd[i], np.asarray(q.dequantize_weight_int4(p_i, jnp.float32)))
+
+
 def test_int4_linear_matches_dequant_matmul():
     """int4_linear == x @ dequant(w4) up to the activation quantization."""
     rng = np.random.default_rng(2)
