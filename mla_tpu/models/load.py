@@ -48,6 +48,7 @@ def load_vla(
     model_id: str = "mla-7b",
     tokenizer=None,
     load_for_training: bool = False,
+    use_ema: bool = False,
     **flag_overrides,
 ) -> MLAPolicy | Tuple[Dict[str, Any], Dict[str, Any], Any, Dict]:
     """Build an MLA policy from a run directory or checkpoint path.
@@ -60,7 +61,12 @@ def load_vla(
       * a bare reference .pt file.
 
     With load_for_training=True returns (params, state, cfg, norm_stats)
-    instead of a policy."""
+    instead of a policy.
+
+    use_ema=True serves the exponential-moving-average weights a --use_ema
+    training run maintains (reference update_ema,
+    training/strategies/base_strategy_mla.py:32-41); requires a full
+    train-state orbax checkpoint that carries `ema_params`."""
     path = Path(checkpoint_or_run_dir)
     run_dir = path if path.is_dir() else path.parent.parent
     norm_stats = _read_json(run_dir / "dataset_statistics.json") or {}
@@ -77,6 +83,12 @@ def load_vla(
     params, state = prismatic.mla_model_init(jax.random.PRNGKey(0), cfg)
 
     ckpt_path = _resolve_checkpoint(path)
+    if use_ema and (ckpt_path is None or ckpt_path.suffix == ".pt"):
+        raise ValueError(
+            "use_ema=True needs a full train-state orbax checkpoint with "
+            f"ema_params; got {ckpt_path} (reference-format .pt checkpoints "
+            "carry no EMA state)"
+        )
     if ckpt_path is None:
         overwatch.warning(f"no checkpoint found under {path}; random init")
     elif ckpt_path.suffix == ".pt":
@@ -96,20 +108,46 @@ def load_vla(
         overwatch.info(f"loading orbax checkpoint {ckpt_path}")
         from mla_tpu.training import checkpointing as ckpt_mod
 
-        abstract = {"params": params, "model_state": state}
-        try:
-            restored = ckpt_mod.load_checkpoint(ckpt_path, abstract)
-        except Exception:
-            # full train-state checkpoints include optimizer state etc.
+        if use_ema:
+            # EMA weights only exist in full train-state checkpoints
             from mla_tpu.training import optim, strategy
 
             tx, _, _ = optim.make_optimizer(params, num_training_steps=1)
-            full = strategy.init_train_state(params, tx, state)
-            full_restored = ckpt_mod.load_checkpoint(ckpt_path, full)
+            full = strategy.init_train_state(params, tx, state, use_ema=True)
+            try:
+                full_restored = ckpt_mod.load_checkpoint(ckpt_path, full)
+            except Exception as e:
+                raise ValueError(
+                    f"use_ema=True but {ckpt_path} holds no ema_params "
+                    "(was the run trained with --use_ema?)"
+                ) from e
             restored = {
-                "params": full_restored["params"],
+                "params": full_restored["ema_params"],
                 "model_state": full_restored["model_state"],
             }
+        else:
+            abstract = {"params": params, "model_state": state}
+            try:
+                restored = ckpt_mod.load_checkpoint(ckpt_path, abstract)
+            except Exception:
+                # full train-state checkpoints include optimizer state etc.
+                # (and --use_ema runs additionally carry ema_params)
+                from mla_tpu.training import optim, strategy
+
+                tx, _, _ = optim.make_optimizer(params, num_training_steps=1)
+                full_restored = None
+                for with_ema in (False, True):
+                    full = strategy.init_train_state(params, tx, state, use_ema=with_ema)
+                    try:
+                        full_restored = ckpt_mod.load_checkpoint(ckpt_path, full)
+                        break
+                    except Exception:
+                        if with_ema:
+                            raise
+                restored = {
+                    "params": full_restored["params"],
+                    "model_state": full_restored["model_state"],
+                }
         params, state = restored["params"], restored["model_state"]
 
     if load_for_training:

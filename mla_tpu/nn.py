@@ -125,7 +125,16 @@ def linear(p: Params, x):
             from mla_tpu.ops.quantization import int8_linear
 
             return int8_linear(p, x)
-        if mode == "w8a8":
+        if mode == "w8a8_pallas":
+            # fused [act-quant -> int8 MXU dot -> rescale] Pallas program for
+            # bandwidth-bound decode shapes; bit-identical math to the w8a8
+            # branch below (tests/test_quantization.py). Ineligible leaves
+            # (stacked/odd-shaped/large-M) fall through to XLA w8a8.
+            from mla_tpu.ops.quantization import w8a8_linear, w8a8_pallas_eligible
+
+            if w8a8_pallas_eligible(p, x):
+                return w8a8_linear(p, x)
+        if mode in ("w8a8", "w8a8_pallas"):
             xf = x.astype(jnp.float32)
             amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
             sx = jnp.maximum(amax, 1e-8) / 127.0

@@ -18,6 +18,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def quantize_weight(w: jnp.ndarray, axis: int = -2) -> Dict[str, jnp.ndarray]:
@@ -316,3 +317,102 @@ def int8_linear(p: Dict[str, Any], x: jnp.ndarray, *, block_n: int = 256) -> jnp
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y
+
+
+# --------------------------------------------------------------------------- #
+# Pallas fused W8A8 matmul (decode hot path)
+# --------------------------------------------------------------------------- #
+#
+# Round-3 finding (scripts/profile_suffix_ops.py, real v5e): the XLA W8A8
+# decode path runs the per-token activation quantization as a SEPARATE VPU
+# op between consecutive int8 dots — HBM sits idle for ~13 us per matmul
+# while it runs, costing ~1.7 ms of the ~10.7 ms suffix step (the chained
+# dots alone measure 9.19 ms vs the 7.2 ms achievable weight-read floor;
+# with the quant hoisted out they measure 7.48 ms). This kernel fuses
+# [activation quant -> int8xint8 MXU dot -> fp32 rescale] into ONE program:
+# the tiny quant recomputes per weight block inside the kernel (VPU work
+# « per-block DMA, so it hides completely behind the weight stream), and
+# the int8 weights feed the MXU directly — no VPU dequant (the mistake that
+# sank the round-1 int8 Pallas kernel, which converted 6.7e9 weights at
+# ~1e12 elem/s).
+#
+# Numerics: identical quantization + exact int32 dot as the XLA w8a8 path;
+# the final fp32 rescale agrees to ~1 ulp (XLA folds the two scale
+# broadcasts into one multiply, reassociating the rounding) — asserted in
+# tests/test_quantization.py against an exact integer numpy reference.
+
+
+def _w8a8_kernel(x_ref, wq_ref, scale_ref, o_ref):
+    xf = x_ref[0].astype(jnp.float32)                      # [Mp, K]
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    ws = scale_ref[0][0].astype(jnp.float32)               # [BN]
+    o_ref[0] = (acc.astype(jnp.float32) * sx * ws[None, :]).astype(o_ref.dtype)
+
+
+def w8a8_matmul(
+    x: jnp.ndarray,        # [M, K] activations (bf16/f32)
+    w_q: jnp.ndarray,      # [K, N] int8
+    w_scale: jnp.ndarray,  # [1, N] or [N] fp32 per-out-channel scales
+    *,
+    block_n: int = 512,
+    interpret=None,
+) -> jnp.ndarray:
+    """Fused per-token-quant + native int8 dot + rescale. M is padded to the
+    32-sublane int8 tile internally; K and N must be multiples of (32, 128)
+    (every 7B decode matmul is)."""
+    M, K = x.shape
+    N = w_q.shape[1]
+    scale = w_scale.reshape(1, N)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    Mp = max((M + 31) // 32 * 32, 32)
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    bn = min(block_n, N)
+    while N % bn:
+        bn //= 2
+
+    out = _pl.pallas_call(
+        _w8a8_kernel,
+        grid=(N // bn,),
+        in_specs=[
+            _pl.BlockSpec((1, Mp, K), lambda j: (0, 0, 0)),
+            _pl.BlockSpec((1, K, bn), lambda j: (0, 0, j)),
+            _pl.BlockSpec((1, 1, bn), lambda j: (0, 0, j)),
+        ],
+        out_specs=_pl.BlockSpec((1, Mp, bn), lambda j: (0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((1, Mp, N), x.dtype),
+        interpret=interpret,
+    )(x[None], w_q[None], scale[None])
+    return out[0, :M]
+
+
+def w8a8_linear(p: Dict[str, Any], x: jnp.ndarray, *, block_n: int = 512) -> jnp.ndarray:
+    """nn.linear-compatible fused W8A8 entry for 2-D {'w_q','w_scale'} leaves."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    y = w8a8_matmul(x.reshape(-1, K), p["w_q"], p["w_scale"].reshape(1, -1), block_n=block_n)
+    y = y.reshape(lead + (y.shape[-1],))
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def w8a8_pallas_eligible(p: Dict[str, Any], x: jnp.ndarray, max_m: int = 64) -> bool:
+    """The fused kernel targets DECODE shapes: small M (the quant stall it
+    removes only matters when dots are bandwidth-bound), 2-D weight leaves,
+    tile-aligned K/N."""
+    if "w_q" not in p or p["w_q"].ndim != 2:
+        return False
+    K, N = p["w_q"].shape
+    M = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    return M <= max_m and K % 128 == 0 and N % 128 == 0
+
+
+

@@ -80,15 +80,16 @@ def main():
     wq_leaves = list(iter_wq(lp))
     wq_bytes = sum(int(np.prod(w.shape)) for w in wq_leaves)
 
-    # ---- variant graphs ------------------------------------------------------
-    def bw_sweep(bias, *ws):
+    # ---- variant graphs (weights/caches are jit ARGS, never captured
+    # constants — captured trees re-upload and distort timing) -------------
+    def bw_sweep(bias, ws):
         # int32 partial sums keep the reduce on the VPU at stream rate
         acc = bias
         for w in ws:
             acc = acc + jnp.sum(w, dtype=jnp.int32)
         return acc.astype(jnp.float32)
 
-    def dots_only(h):
+    def dots_only(h, lp):
         for i in range(L):
             qkv = nn.linear({k: v[i] for k, v in lp["attn"]["qkv_fused"].items()}, h)
             h = qkv[..., :D]
@@ -98,7 +99,7 @@ def main():
             h = nn.linear({k: v[i] for k, v in lp["mlp"]["down"].items()}, gu[..., :I])
         return h.astype(jnp.float32).sum()
 
-    def dots_noquant(h):
+    def dots_noquant(h, lp):
         # activations quantized ONCE outside the per-dot path: int8 x int8
         # dots with a fixed activation scale folded into the weight rescale
         hq = jnp.clip(jnp.round(h.astype(jnp.float32) / 0.01), -127, 127).astype(jnp.int8)
@@ -115,6 +116,24 @@ def main():
             gu = dot(lp["mlp"]["gateup_fused"], o)
             hq = dot(lp["mlp"]["down"], gu[..., : lp["mlp"]["down"]["w_q"].shape[1]])
         return hq.astype(jnp.float32).sum()
+
+    def dots_pallas(h, lp):
+        # fused Pallas W8A8 kernel (quant inside the program; weights stream
+        # straight to the MXU) — the round-3 candidate decode path
+        from mla_tpu.ops.quantization import w8a8_matmul
+
+        M = h.shape[0] * h.shape[1]
+        for i in range(L):
+            def dot(leaf, x):
+                return w8a8_matmul(
+                    x.reshape(M, -1), leaf["w_q"][i], leaf["w_scale"][i]
+                ).reshape(x.shape[:-1] + (leaf["w_q"].shape[-1],))
+            qkv = dot(lp["attn"]["qkv_fused"], h)
+            h = dot(lp["attn"]["o"], qkv[..., :D])
+            gu = dot(lp["mlp"]["gateup_fused"], h)
+            I = gu.shape[-1] // 2
+            h = dot(lp["mlp"]["down"], gu[..., :I])
+        return h.astype(jnp.float32).sum()
 
     def attn_only(h, kv):
         cos_table, sin_table = rope_ops.rope_tables(hd, lcfg.max_position_embeddings, lcfg.rope_theta)
@@ -145,7 +164,7 @@ def main():
             h = out.transpose(0, 2, 1, 3).reshape(B, S, D)
         return h.astype(jnp.float32).sum()
 
-    def suffix_full(x, t):
+    def suffix_full(x, t, params, kv):
         proprio = jnp.zeros((B, 1, cfg.action_dim), jnp.float32)
         tail = jnp.zeros((B, 1), jnp.int32)
         fn = mla_mod.make_suffix_denoise_fn(params, cfg, kv, P, proprio, tail)
@@ -159,7 +178,12 @@ def main():
         ts = []
         for i in range(args.iters):
             aa = list(a)
-            aa[vary] = aa[vary] + (jnp.float32(i + 1) * 1e-6 if aa[vary].dtype != jnp.int32 else (i + 1))
+            # perturb in the SAME dtype (a promoting add would change the graph)
+            dt = aa[vary].dtype
+            if np.issubdtype(dt, np.integer):
+                aa[vary] = aa[vary] + np.asarray(i + 1, dt)
+            else:
+                aa[vary] = aa[vary] + np.asarray((i + 1) * 1e-6, dt)
             jax.block_until_ready(aa[vary])
             st = time.perf_counter()
             float(jax.device_get(jfn(*aa)))
@@ -169,12 +193,17 @@ def main():
     t_null = timeit(lambda a: (a * 2).sum(), jnp.zeros((8, 128), jnp.float32), vary=0)
     net = lambda t: max(t - t_null, 0.0)
 
-    t_bw = net(timeit(bw_sweep, jnp.int32(0), *wq_leaves, vary=0))
-    t_dots = net(timeit(dots_only, h0, vary=0))
-    t_noq = net(timeit(dots_noquant, h0, vary=0))
+    t_bw = net(timeit(bw_sweep, jnp.int32(0), wq_leaves, vary=0))
+    t_dots = net(timeit(dots_only, h0, lp, vary=0))
+    try:
+        t_pallas = net(timeit(dots_pallas, h0, lp, vary=0))
+    except Exception as e:
+        print(f"dots_pallas failed: {type(e).__name__}: {e}", file=sys.stderr)
+        t_pallas = None
+    t_noq = net(timeit(dots_noquant, h0, lp, vary=0))
     t_attn = net(timeit(attn_only, h0, kv, vary=0))
     x0 = jnp.asarray(rng.normal(size=(B, cfg.action_horizon, cfg.action_dim)), jnp.float32)
-    t_suffix = net(timeit(suffix_full, x0, jnp.full((B,), 99, jnp.int32), vary=0))
+    t_suffix = net(timeit(suffix_full, x0, jnp.full((B,), 99, jnp.int32), params, kv, vary=0))
 
     kv_bytes = 2 * L * B * lcfg.num_kv_heads * cache_max * hd * 2
 
@@ -186,6 +215,7 @@ def main():
         "achieved_gbps": round(wq_bytes / t_bw / 1e6, 1),
         "spec_floor_ms": round(wq_bytes / 819e9 * 1e3, 2),
         "dots_only_ms": round(t_dots, 2),
+        "dots_pallas_ms": round(t_pallas, 2) if t_pallas is not None else None,
         "dots_noquant_ms": round(t_noq, 2),
         "attn_only_ms": round(t_attn, 2),
         "kv_read_floor_ms": round(kv_bytes / 819e9 * 1e3, 2),

@@ -127,6 +127,48 @@ def test_save_then_load_vla_roundtrip(tmp_path):
     assert np.isfinite(act).all()
 
 
+def test_ema_checkpoint_and_serving(tmp_path):
+    """EMA state (reference update_ema, base_strategy_mla.py:32-41) survives
+    checkpointing, and load_vla(use_ema=True) serves the EMA weights while
+    the default load serves the raw ones (VERDICT r2 #9)."""
+    from mla_tpu.conf.vla import get_vla_config
+    from mla_tpu.models.load import load_vla
+
+    cfg = tiny_config()
+    params, mstate = tiny_model(cfg)
+    tx, _, _ = optim.make_optimizer(params, num_training_steps=10)
+    state = strategy.init_train_state(params, tx, mstate, use_ema=True)
+    # make EMA distinguishable from the raw params (as after real updates)
+    state["ema_params"] = jax.tree_util.tree_map(lambda p: p * 0.5, state["ema_params"])
+
+    run_dir = tmp_path / "run"
+    stats = {"rlbench": {"action": {"q01": [-1.0] * 7, "q99": [1.0] * 7},
+                         "proprio": {"q01": [-1.0] * 7, "q99": [1.0] * 7}}}
+    ckpt.write_run_metadata(run_dir, get_vla_config("mla-tiny-debug"), cfg, stats)
+    path = ckpt.save_checkpoint(run_dir, state, step=2, epoch=0, loss=0.4)
+
+    # kill-and-resume: the full state (incl. ema_params) restores bit-exactly
+    restored = ckpt.load_checkpoint(path, state)
+    a = np.asarray(jax.tree_util.tree_leaves(state["ema_params"])[0])
+    b = np.asarray(jax.tree_util.tree_leaves(restored["ema_params"])[0])
+    np.testing.assert_array_equal(a, b)
+
+    raw_policy = load_vla(run_dir, model_id="mla-tiny")
+    ema_policy = load_vla(run_dir, model_id="mla-tiny", use_ema=True)
+    raw = np.asarray(raw_policy.params["llm_backbone"]["embed"]["table"])
+    ema = np.asarray(ema_policy.params["llm_backbone"]["embed"]["table"])
+    np.testing.assert_array_equal(raw, np.asarray(params["llm_backbone"]["embed"]["table"]))
+    np.testing.assert_allclose(ema, raw * 0.5, rtol=1e-6)
+
+    # a checkpoint without EMA state rejects use_ema loudly
+    run2 = tmp_path / "run2"
+    state_noema = strategy.init_train_state(params, tx, mstate)
+    ckpt.write_run_metadata(run2, get_vla_config("mla-tiny-debug"), cfg, stats)
+    ckpt.save_checkpoint(run2, state_noema, step=1, epoch=0, loss=0.5)
+    with pytest.raises(ValueError, match="ema"):
+        load_vla(run2, model_id="mla-tiny", use_ema=True)
+
+
 def test_async_save_roundtrip(tmp_path):
     cfg = tiny_config()
     params, mstate = tiny_model(cfg)
@@ -138,3 +180,82 @@ def test_async_save_roundtrip(tmp_path):
     a = np.asarray(jax.tree_util.tree_leaves(state["params"])[0])
     b = np.asarray(jax.tree_util.tree_leaves(restored["params"])[0])
     np.testing.assert_array_equal(a, b)
+
+
+def test_cross_mesh_restore_and_identical_resume(tmp_path):
+    """The GSPMD elastic/resize story (reference analogue: FULL_STATE_DICT
+    reconstitution, training/strategies/fsdp.py:100-174): a train state
+    saved sharded on dp=2 x fsdp=4 restores bit-exactly onto fsdp=8 and onto
+    a single device, and one further train step from either restore produces
+    identical params (VERDICT r2 #5)."""
+    from mla_tpu.diffusion import gaussian as gd
+    from mla_tpu.parallel import make_mesh, shard_batch
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    cfg = tiny_config()
+    params, mstate = tiny_model(cfg)
+    tx, _, _ = optim.make_optimizer(params, learning_rate=1e-3, num_training_steps=10)
+    sched = gd.create_schedule("", diffusion_steps=100)
+    tcfg = strategy.TrainConfig(
+        learning_rate=1e-3, grad_accumulation_steps=1, repeated_diffusion_steps=1,
+        enable_gradient_checkpointing=False, num_training_steps=10,
+    )
+
+    mesh_a = make_mesh(dp=2, fsdp=4)
+    st = strategy.init_train_state(params, tx, mstate)
+    # host snapshot BEFORE the (donating) train step — device_put may alias
+    # buffers between st and st_a, and donation deletes them
+    st_host = jax.tree_util.tree_map(np.asarray, st)
+    st_a = strategy.shard_train_state(st, mesh_a)
+    batch = tiny_batch(cfg, B=8)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    step_a = strategy.make_train_step(cfg, tcfg, tx, sched, mesh_a)
+    st_a, _ = step_a(st_a, shard_batch(batch, mesh_a), jax.random.PRNGKey(1))
+
+    path = ckpt.save_checkpoint(tmp_path, st_a, step=1, epoch=0, loss=0.3)
+
+    # host copy of the post-step state for bit-equality checks
+    host = jax.tree_util.tree_map(np.asarray, st_a)
+
+    def assert_state_equal(restored):
+        for a, b in zip(jax.tree_util.tree_leaves(host), jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(np.asarray, restored))):
+            np.testing.assert_array_equal(a, b)
+
+    # --- restore on a DIFFERENT mesh shape: fsdp=8 — bit-exact ------------
+    mesh_b = make_mesh(dp=1, fsdp=8)
+    abstract_b = strategy.shard_train_state(st_host, mesh_b)
+    restored_b = ckpt.load_checkpoint(path, abstract_b)
+    assert_state_equal(restored_b)
+
+    # --- restore on ONE device — bit-exact --------------------------------
+    restored_1 = ckpt.load_checkpoint(path, st_host)
+    assert_state_equal(restored_1)
+
+    # --- save -> restore -> step on the SAME mesh == stepping straight
+    # through (restore fidelity: the round-trip is invisible to training)
+    abstract_a = strategy.shard_train_state(st_host, mesh_a)
+    restored_a = ckpt.load_checkpoint(path, abstract_a)
+    st_direct, _ = step_a(st_a, shard_batch(batch, mesh_a), jax.random.PRNGKey(2))
+    st_resumed, _ = step_a(restored_a, shard_batch(batch, mesh_a), jax.random.PRNGKey(2))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, st_direct["params"])),
+        jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, st_resumed["params"])),
+    ):
+        np.testing.assert_array_equal(a, b)
+
+    # --- cross-mesh continuation runs and stays numerically close (bf16
+    # reductions partition differently across meshes, so bit-equality is not
+    # the contract here — closeness and finiteness are)
+    step_b = strategy.make_train_step(cfg, tcfg, tx, sched, mesh_b)
+    st_b2, metrics_b = step_b(restored_b, shard_batch(batch, mesh_b), jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics_b["total_loss"]))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, st_direct["params"])),
+        jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, st_b2["params"])),
+    ):
+        # params move by <= lr per Adam step; cross-mesh drift stays well
+        # under one update's magnitude
+        np.testing.assert_allclose(a, b, atol=5e-3)

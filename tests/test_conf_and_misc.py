@@ -138,16 +138,23 @@ def test_bench_emit_json_contract(capsys):
     bench._emit(
         {"p50_s": 0.139, "p90_s": 0.145, "mean_s": 0.14, "rtt_s": 0.026,
          "transfer_ms": 100.0, "batch_chunks_per_sec": 14.8,
-         "dpm4_chunks_per_sec": 14.5, "throughput_batch": 4},
+         "dpm4_chunks_per_sec": 14.5, "throughput_batch": 4,
+         "suffix_ms_per_step": 10.7, "prefill_ms": 26.0, "mfu_prefill": 0.68},
         "mla-7b-int8", "tpu",
     )
     out = json.loads(capsys.readouterr().out.strip())
     assert out["metric"] == "action_chunks_per_sec_chip"
     assert out["unit"] == "chunks/s"
-    # value is derived from p50 NET of the measured dispatch RTT
+    # value is derived from p50 NET of the measured dispatch RTT (declared by
+    # metric_version >= 2; round-1 published gross)
+    assert out["metric_version"] >= 2
     assert abs(out["value"] - 1.0 / (0.139 - 0.026)) < 1e-2
     assert out["p50_ms"] == 139.0 and out["p50_net_ms"] == 113.0
     assert out["vs_baseline"] == round(out["value"] / 2.3, 3)
     for k in ("dispatch_rtt_ms", "batch_chunks_per_sec", "dpm4_chunks_per_sec",
               "baseline_note", "model", "backend", "ddim_steps"):
         assert k in out, k
+    # machine-readable perf split (VERDICT r2 #8): suffix step, prefill, MFU
+    assert out["suffix_ms_per_step"] == 10.7
+    assert out["prefill_ms"] == 26.0
+    assert out["mfu_prefill"] == 0.68

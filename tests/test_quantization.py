@@ -99,6 +99,56 @@ def test_w8a8_quantized_llama(monkeypatch):
     assert np.abs(np.asarray(out_fp - out_q)).max() / denom < 0.08
 
 
+def test_w8a8_pallas_fused_matches_xla(monkeypatch):
+    """The fused Pallas W8A8 kernel (quant+dot+rescale in one program)
+    computes the SAME quantization + exact int32 dot as the XLA w8a8
+    branch; the final fp32 rescale agrees to ~1 ulp (XLA may fold the
+    [M,1] x [N] scale broadcasts into one multiply, reassociating the fp32
+    rounding). Runs in interpret mode on CPU; the real chip is exercised by
+    scripts/profile_suffix_ops.py / bench.py."""
+    rng = np.random.default_rng(11)
+    K, N, M = 256, 384, 19
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.04
+    x = jnp.asarray(rng.normal(size=(1, M, K)).astype(np.float32))
+    pq = q.quantize_weight(jnp.asarray(w))
+
+    # exact integer reference in numpy: same amax/scale, same int dot
+    xf = np.asarray(x[0])
+    sx = np.maximum(np.abs(xf).max(-1, keepdims=True), 1e-8) / 127.0
+    xq = np.clip(np.round(xf / sx), -127, 127).astype(np.int64)
+    acc = xq @ np.asarray(pq["w_q"], dtype=np.int64)
+    y_int_ref = acc.astype(np.float32) * sx.astype(np.float32) * np.asarray(
+        pq["w_scale"][0], dtype=np.float32
+    )
+
+    monkeypatch.setenv("MLA_INT8_MODE", "w8a8")
+    y_xla = nn.linear(pq, x)
+    monkeypatch.setenv("MLA_INT8_MODE", "w8a8_pallas")
+    assert q.w8a8_pallas_eligible(pq, x)
+    y_pl = nn.linear(pq, x)
+    np.testing.assert_allclose(np.asarray(y_pl[0]), y_int_ref, rtol=3e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(y_xla), np.asarray(y_pl), rtol=3e-7, atol=1e-7)
+
+    # bias path + bf16 activations
+    pqb = {**pq, "b": jnp.asarray(rng.normal(size=(N,)).astype(np.float32))}
+    xb = x.astype(jnp.bfloat16)
+    monkeypatch.setenv("MLA_INT8_MODE", "w8a8")
+    y_xla = nn.linear(pqb, xb)
+    monkeypatch.setenv("MLA_INT8_MODE", "w8a8_pallas")
+    y_pl = nn.linear(pqb, xb)
+    np.testing.assert_allclose(
+        np.asarray(y_xla, dtype=np.float32), np.asarray(y_pl, dtype=np.float32),
+        rtol=1e-2, atol=1e-2,  # bf16 output rounding dominates
+    )
+
+    # ineligible shapes (large M / stacked leaves) fall back to XLA w8a8
+    x_big = jnp.asarray(rng.normal(size=(2, 128, K)).astype(np.float32))
+    assert not q.w8a8_pallas_eligible(pq, x_big)
+    y_fb = nn.linear(pq, x_big)
+    monkeypatch.setenv("MLA_INT8_MODE", "w8a8")
+    np.testing.assert_array_equal(np.asarray(nn.linear(pq, x_big)), np.asarray(y_fb))
+
+
 # --------------------------------------------------------------------------- #
 # int4 weight-only (W4A8 serving path)
 # --------------------------------------------------------------------------- #
