@@ -160,11 +160,16 @@ def make_dataset_from_rlds(
 
     try:
         import tensorflow_datasets as tfds
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "tensorflow_datasets is required to read RLDS builders. "
-            "Install it on the host, or use the dummy data path."
-        ) from e
+
+        skip_decoding = {"steps": tfds.decode.SkipDecoding()}
+    except ImportError:
+        # hosts without the tensorflow_datasets package read the same
+        # TFDS-layout directories through the compat reader; images stay
+        # encoded bytes either way (SkipDecoding semantics — the frame
+        # transforms decode them)
+        from mla_tpu.vla.rlds import tfds_compat as tfds  # type: ignore[no-redef]
+
+        skip_decoding = None
 
     cfg = OXE_DATASET_CONFIGS.get(name, {})
     if standardize_fn is None:
@@ -202,7 +207,7 @@ def make_dataset_from_rlds(
         # on builder info + state keys + the transform's source
         stats_ds = episodes_to_trajs(
             builder.as_dataset(split="train", shuffle_files=False,
-                               decoders={"steps": tfds.decode.SkipDecoding()})
+                               decoders=skip_decoding)
         )
         dataset_statistics = T.get_dataset_statistics(
             stats_ds,
@@ -231,7 +236,7 @@ def make_dataset_from_rlds(
         split = "train"
 
     ds = builder.as_dataset(split=split, shuffle_files=shuffle and train,
-                            decoders={"steps": tfds.decode.SkipDecoding()})
+                            decoders=skip_decoding)
     if shard_by_host:
         import jax
 
@@ -465,6 +470,7 @@ def make_interleaved_dataset(
     traj_transform_threads: Optional[int] = None,
     traj_read_threads: Optional[int] = None,
     stats_sample_trajectories: Optional[int] = None,
+    stats_cache_dir: str = _DEFAULT_STATS_CACHE,
     seed: int = 0,
 ) -> Tuple[Any, int, Dict]:
     """Weighted frame-level interleave of the mixture's datasets
@@ -492,6 +498,7 @@ def make_interleaved_dataset(
         clean = {k: v for k, v in kwargs.items() if k != "dataset_frame_transform_kwargs"}
         _, stats = make_dataset_from_rlds(
             **clean, train=train, stats_sample_trajectories=stats_sample_trajectories,
+            stats_cache_dir=stats_cache_dir,
         )
         all_stats[kwargs["name"]] = stats
         sizes.append(int(stats["num_transitions"]))

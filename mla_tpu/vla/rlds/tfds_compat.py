@@ -181,6 +181,18 @@ def _parse_split(spec: str):
     raise ValueError(f"unsupported split spec {spec!r}")
 
 
+class _BuilderInfo:
+    """tfds builder .info stand-in; str() is stable for the statistics
+    cache hash (transforms.get_dataset_statistics hash_dependencies)."""
+
+    def __init__(self, name: str, version: str, splits: Dict[str, Any], repr_: str):
+        self.name, self.version, self.splits = name, version, splits
+        self._repr = repr_
+
+    def __str__(self) -> str:
+        return self._repr
+
+
 class MiniRLDSBuilder:
     """tfds.builder-shaped reader for the on-disk layout above."""
 
@@ -203,12 +215,14 @@ class MiniRLDSBuilder:
             )
             for s in raw_info.get("splits", [])
         }
-        self.info = SimpleNamespace(
+        # str(info) feeds the dataset-statistics cache hash; include the
+        # feature spec like real tfds does, so a schema change (e.g. a
+        # proprio-width edit) invalidates cached stats
+        self.info = _BuilderInfo(
             name=name, version=raw_info.get("version", "1.0.0"), splits=splits,
-            _repr=json.dumps(raw_info, sort_keys=True),
+            repr_=json.dumps({"info": raw_info, "features": self.features},
+                             sort_keys=True),
         )
-        # stable string for the statistics cache hash
-        self.info.__class__.__str__ = lambda s: s._repr  # type: ignore[assignment]
 
     def _parse_spec(self):
         tf = _tf()
