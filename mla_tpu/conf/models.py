@@ -123,19 +123,24 @@ def mla_golden(
     camera_name: str = "rlbench_front",
     num_layers: int = 4,
     contrastive_layer: int = 2,
+    hidden_size: int = 512,
+    num_heads: int = 8,
+    intermediate_size: int = 1376,
     **kw,
 ) -> prismatic.MLAModelConfig:
     """Reduced-LLM config matching tests/ref_harness.build_reference_mla
-    (hidden 512, full-width 1024-d vision tokenizer): the end-to-end
-    golden-parity checkpoint (tests/test_golden_e2e.py). bf16 params/compute
-    — the reference path hard-casts diffusion inputs to bf16
-    (models/vlm/prismatic.py:873-881), so parity mode is bf16 end-to-end.
-    The training golden uses num_layers=9 / contrastive_layer=8 because the
-    reference hardcodes the contrastive hook at hidden_states[8]
-    (modeling_llama.py:1274)."""
+    (default hidden 512 x 4 layers, full-width 1024-d vision tokenizer):
+    the end-to-end golden-parity checkpoint (tests/test_golden_e2e.py).
+    bf16 params/compute — the reference path hard-casts diffusion inputs to
+    bf16 (models/vlm/prismatic.py:873-881), so parity mode is bf16
+    end-to-end. The training golden uses num_layers=9 / contrastive_layer=8
+    because the reference hardcodes the contrastive hook at
+    hidden_states[8] (modeling_llama.py:1274); the full-DEPTH e2e golden
+    uses num_layers=32 / hidden_size=256 (production depth, narrow width)."""
     llama_cfg = llama_mod.LlamaConfig(
-        vocab_size=32064, hidden_size=512, intermediate_size=1376,
-        num_layers=num_layers, num_heads=8, num_kv_heads=8,
+        vocab_size=32064, hidden_size=hidden_size,
+        intermediate_size=intermediate_size,
+        num_layers=num_layers, num_heads=num_heads, num_kv_heads=num_heads,
         max_position_embeddings=2048, contrastive_layer=contrastive_layer,
         param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
     )
@@ -143,7 +148,7 @@ def mla_golden(
         llama=llama_cfg,
         vision=vt_mod.VisionTokenizerConfig(),
         point=pt_mod.PointTokenizerConfig(),
-        gen=_gen_cfg(512, use_generation, use_tactile, use_roi),
+        gen=_gen_cfg(hidden_size, use_generation, use_tactile, use_roi),
         use_diff=use_diff, use_pointcloud=use_pointcloud, use_tactile=use_tactile,
         use_contrastive=use_contrastive, use_generation=use_generation,
         use_roi=use_roi, camera_name=camera_name, **kw,

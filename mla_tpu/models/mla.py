@@ -483,13 +483,20 @@ class MLAPolicy:
     def _diff_fn(
         self, prefix_len: int, tail_len: int, use_ddpm: bool, cfg_scale: float = 0.0,
         sampler: str = "ddim", num_dpm_steps: int = 4,
+        num_ddim_steps: Optional[int] = None,
     ):
-        sig = ("diff", prefix_len, tail_len, use_ddpm, cfg_scale, sampler, num_dpm_steps)
+        sig = ("diff", prefix_len, tail_len, use_ddpm, cfg_scale, sampler,
+               num_dpm_steps, num_ddim_steps)
         if sig not in self._jit_cache:
             # prefix embeds = text(prefix_len) + fused block
             embed_len = prefix_len + self.cfg.fused_len
             cache_max = embed_len + 2 + self.cfg.action_horizon + tail_len + self.cache_margin
-            sched = self.sched_full if (use_ddpm or sampler == "dpm") else self.sched_ddim
+            if use_ddpm or sampler == "dpm":
+                sched = self.sched_full
+            elif num_ddim_steps is None:
+                sched = self.sched_ddim  # policy default (construction-time)
+            else:
+                sched = gd.create_schedule(f"ddim{num_ddim_steps}", diffusion_steps=100)
             use_cfg = cfg_scale > 1.0
 
             @jax.jit
@@ -538,7 +545,7 @@ class MLAPolicy:
         instruction: str,
         cur_robot_state=None,
         unnorm_key: Optional[str] = None,
-        num_ddim_steps: int = 8,
+        num_ddim_steps: Optional[int] = None,
         use_ddim: bool = True,
         cfg_scale: float = 0.0,
         seed: int = 0,
@@ -546,11 +553,18 @@ class MLAPolicy:
         noise: Optional[np.ndarray] = None,
         sampler: str = "ddim",
         num_dpm_steps: int = 4,
+        return_normalized: bool = False,
     ) -> np.ndarray:
         """Reference predict_action_diff (model_mla.py:592-775): DDIM-8
         denoise of a [horizon, action_dim] chunk, q01/q99 unnormalized.
         `noise` overrides the seed-derived initial x_T (golden-parity runs
         replay the reference's recorded torch.randn draw).
+        `num_ddim_steps=None` uses the policy's construction-time respacing
+        (default 8); an explicit value builds that DDIM respacing (e.g. 100
+        as the sampler-fidelity reference, scripts/qualify_samplers.py).
+        `return_normalized=True` returns the raw normalized chunk BEFORE the
+        [-1,1] clip / gripper binarize / q01-q99 unnormalization — the space
+        the samplers integrate in (sampler-fidelity analysis).
         sampler='dpm' uses DPM-Solver++(2M) with `num_dpm_steps` model
         evaluations — half the denoise cost of DDIM-8 at better ODE accuracy
         (beyond-parity serving mode, diffusion/dpm_solver.py)."""
@@ -591,12 +605,15 @@ class MLAPolicy:
         fn = self._diff_fn(
             int(prefix_ids.shape[1]), 1, use_ddpm=not use_ddim,
             cfg_scale=cfg_scale, sampler=sampler, num_dpm_steps=num_dpm_steps,
+            num_ddim_steps=num_ddim_steps,
         )
         samples = fn(
             self.params, self.state, prefix_ids, tail_ids, images, pc,
             jnp.asarray(proprio), noise, sample_key,
         )
         normalized = np.asarray(samples[0])  # [horizon, action_dim]
+        if return_normalized:
+            return normalized
         return unnormalize_actions(normalized, self.get_action_stats(unnorm_key))
 
     def predict_action_diff_batched(

@@ -54,8 +54,9 @@ def trainable_mask(params: Any, stage: str = "pretrain", extra_frozen: Sequence[
     from mla_tpu.utils.tree import map_with_path
 
     def decide(path: str, leaf) -> bool:
-        top = path.split("/", 1)[0]
-        if top in frozen:
+        # a frozen name matches any path segment ("lm_head" freezes
+        # llm_backbone/lm_head/*), not just the top-level module
+        if any(seg in frozen for seg in path.split("/")):
             return False
         if path.endswith("uncondition"):
             return False
@@ -105,16 +106,36 @@ def make_optimizer(
     from mla_tpu.utils.tree import map_with_path
 
     schedule = make_lr_schedule(lr_scheduler_type, learning_rate, num_training_steps, warmup_ratio)
-    decay_mask = map_with_path(lambda p, x: not is_no_decay(p, x), params)
-    train_mask = trainable_mask(params, stage, extra_frozen)
+    import jax
 
-    # adamw applies decay into the update stream; _zero_frozen then kills
-    # both the gradient step and the decay for frozen leaves
+    train_mask = trainable_mask(params, stage, extra_frozen)
+    # decay only trainable leaves: masked-out leaves are MaskedNode inside
+    # optax.masked, and add_decayed_weights must not touch them
+    decay_mask = jax.tree_util.tree_map(
+        lambda d, t: bool(d and t),
+        map_with_path(lambda p, x: not is_no_decay(p, x), params),
+        train_mask,
+    )
+
+    # optax.masked: frozen leaves never enter the clip/adam pipeline — the
+    # global norm is computed over trainable params only (torch's
+    # clip_grad_norm_ over requires-grad params; zero grads contribute
+    # nothing to the norm either way, so numerics are unchanged), no Adam
+    # state is allocated for them (e.g. ~1.5 GB for the 131M-param lm_head,
+    # frozen in diffusion-mode training), and XLA never constant-folds a
+    # 131M-element zero-grad norm at compile time (an 83 s stall in the
+    # multichip dryrun). _zero_frozen then kills the passed-through raw
+    # grads of the frozen leaves.
     tx = optax.chain(
-        optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(
-            learning_rate=schedule, b1=b1, b2=b2, eps=eps,
-            weight_decay=weight_decay, mask=decay_mask,
+        optax.masked(
+            optax.chain(
+                optax.clip_by_global_norm(max_grad_norm),
+                optax.adamw(
+                    learning_rate=schedule, b1=b1, b2=b2, eps=eps,
+                    weight_decay=weight_decay, mask=decay_mask,
+                ),
+            ),
+            train_mask,
         ),
         _zero_frozen(train_mask),
     )

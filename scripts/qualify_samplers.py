@@ -1,0 +1,194 @@
+"""Qualify DPM-Solver++(2M) against DDIM on the REAL composed model
+(VERDICT r2 #2).
+
+The serving question: is `sampler='dpm', num_dpm_steps=4` (4 model evals,
+~2x DDIM-8's throughput) at least as faithful to the diffusion process as
+the reference-exact DDIM-8 path?  The fidelity yardstick is DDIM-100 — the
+full 100-step respacing of the same schedule (reference
+gaussian_diffusion.py:608-681 semantics) — run on the SAME weights, SAME
+observations, SAME initial noise.
+
+A FRESH model is no testbed: the reference zero-initializes the eps head
+(prismatic.py:320-321, every sampler trivially agrees on eps==0), and a
+RANDOM head gives a non-diffusion eps field whose DDIM trajectories diverge
+geometrically (measured: DDIM-50 still ~97% away from DDIM-100, raw sample
+rms ~2e3 — the landscape is chaotic and sampler deltas are noise).  So this
+script first TRAINS the model on the real diffusion objective
+(--train_steps of the production train step on synthetic batches) until the
+eps head predicts a consistent noise field; then sample magnitudes stay
+O(1), DDIM converges with step count, and sampler fidelity is meaningful.
+Several independent weight seeds guard against a lucky landscape.
+
+Metrics are computed on the RAW normalized chunk (`return_normalized=True`,
+the space the samplers integrate in, BEFORE the [-1,1] clip that saturates
+untrained-model outputs and would mask sampler differences):
+  * rms / max abs delta vs DDIM-100 over the continuous dims
+  * gripper agreement (the post-processed, binarized last dim) vs DDIM-100
+
+Usage:
+  python scripts/qualify_samplers.py                     # mla-small, CPU ok
+  python scripts/qualify_samplers.py --model mla-7b-int8 # real chip
+  python scripts/qualify_samplers.py --trace obs.npz     # real observations
+
+Emits one JSON line per (sampler, aggregate) and a summary table; the
+headline numbers are recorded in docs/kernels.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def build_policy(model_id: str, weight_seed: int, train_steps: int = 0):
+    import jax
+
+    from mla_tpu.conf.models import get_model_config
+    from mla_tpu.models import prismatic
+    from mla_tpu.models.mla import MLAPolicy
+    from mla_tpu.vla.tokenizer import SimpleTokenizer
+
+    cfg = get_model_config(model_id.removesuffix("-int8"), use_contrastive=False)
+    params, state = prismatic.mla_model_init(jax.random.PRNGKey(weight_seed), cfg)
+    if train_steps:
+        params, state = _train(params, state, cfg, train_steps, weight_seed)
+    if model_id.endswith("-int8"):
+        from mla_tpu.ops.quantization import quantize_llama
+
+        params = {**params, "llm_backbone": quantize_llama(params["llm_backbone"])}
+    stats = {"qualify": {
+        "action": {"q01": [-1.0] * cfg.action_dim, "q99": [1.0] * cfg.action_dim},
+        "proprio": {"q01": [-1.0] * cfg.action_dim, "q99": [1.0] * cfg.action_dim},
+    }}
+    return MLAPolicy(params, state, cfg, tokenizer=SimpleTokenizer(), norm_stats=stats)
+
+
+def _train(params, mstate, cfg, steps: int, seed: int):
+    """Run the production train step on synthetic batches until the eps
+    head predicts a consistent noise field (loss ~ the 1.0 floor)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mla_tpu.diffusion import gaussian as gd
+    from mla_tpu.parallel import make_mesh, shard_batch
+    from mla_tpu.training import optim, strategy
+    from mla_tpu.vla.dummy import synthetic_batch
+
+    sched = gd.create_schedule("", diffusion_steps=100)
+    tcfg = strategy.TrainConfig(
+        learning_rate=1e-3, grad_accumulation_steps=1, repeated_diffusion_steps=1,
+        enable_gradient_checkpointing=False, num_training_steps=steps,
+    )
+    tx, _, _ = optim.make_optimizer(params, learning_rate=1e-3, num_training_steps=steps)
+    mesh = make_mesh()
+    state = strategy.shard_train_state(strategy.init_train_state(params, tx, mstate), mesh)
+    step_fn = strategy.make_train_step(cfg, tcfg, tx, sched, mesh)
+    B = max(len(jax.devices()), 2)
+    for i in range(steps):
+        batch = jax.tree_util.tree_map(
+            jnp.asarray, synthetic_batch(cfg, B=B, L=16, seed=seed * 10_000 + i, training=True)
+        )
+        state, metrics = step_fn(state, shard_batch(batch, mesh), jax.random.PRNGKey(i))
+        if i % 25 == 0 or i == steps - 1:
+            print(f"  train[{i}] loss {float(metrics['total_loss']):.4f}", file=sys.stderr)
+    # the train step donates its inputs — hand back fresh host copies of
+    # both params and model_state (the originals' buffers are deleted)
+    return jax.device_get(state["params"]), jax.device_get(state["model_state"])
+
+
+def make_scenarios(policy, n: int, trace_path: str | None):
+    """(image, pointcloud, proprio) observation tuples — seeded synthetic,
+    or real recorded observations via --trace (eval_rlbench npz schema)."""
+    from mla_tpu.vla.datasets import add_mask_channel, clip_preprocess
+
+    cfg = policy.cfg
+    out = []
+    if trace_path:
+        trace = np.load(trace_path, allow_pickle=True)
+        for i in range(min(n, len(trace["images"]))):
+            img = add_mask_channel(clip_preprocess(trace["images"][i], cfg.vision.image_size))
+            out.append((img, np.asarray(trace["point_clouds"][i], np.float32), None))
+        return out
+    for i in range(n):
+        rng = np.random.default_rng(7000 + i)
+        raw = rng.integers(0, 255, (cfg.vision.image_size, cfg.vision.image_size, 3), np.uint8)
+        img = add_mask_channel(clip_preprocess(raw, cfg.vision.image_size))
+        pc = rng.normal(size=(cfg.point.input_points, 3)).astype(np.float32)
+        proprio = rng.uniform(-0.8, 0.8, cfg.action_dim).astype(np.float32)
+        out.append((img, pc, proprio))
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="mla-small")
+    p.add_argument("--scenarios", type=int, default=6)
+    p.add_argument("--weight_seeds", type=int, nargs="+", default=[0, 1])
+    p.add_argument("--trace", default=None, help="npz with images/point_clouds")
+    p.add_argument("--train_steps", type=int, default=120,
+                   help="diffusion-objective train steps before measuring")
+    p.add_argument("--out", default=None, help="write full JSON here")
+    args = p.parse_args(argv)
+
+    candidates = [
+        ("ddim8", dict(num_ddim_steps=8)),
+        ("ddim4", dict(num_ddim_steps=4)),              # DDIM at DPM-4's cost
+        ("dpm4", dict(sampler="dpm", num_dpm_steps=4)),
+        ("dpm6", dict(sampler="dpm", num_dpm_steps=6)),
+    ]
+    deltas = {name: [] for name, _ in candidates}
+    grip = {name: [] for name, _ in candidates}
+
+    for wseed in args.weight_seeds:
+        policy = build_policy(args.model, wseed, train_steps=args.train_steps)
+        scenarios = make_scenarios(policy, args.scenarios, args.trace)
+        for si, (img, pc, proprio) in enumerate(scenarios):
+            noise = np.random.default_rng(9000 + si).normal(
+                size=(policy.cfg.action_horizon, policy.cfg.action_dim)
+            ).astype(np.float32)
+            common = dict(
+                cur_robot_state=proprio, unnorm_key="qualify", noise=noise,
+                instruction="close the jar", return_normalized=True,
+            )
+            from mla_tpu.models.mla import unnormalize_actions
+
+            stats = policy.get_action_stats("qualify")
+            ref = policy.predict_action_diff(img, pc, num_ddim_steps=100, **common)
+            ref_post = unnormalize_actions(ref, stats)
+            ref_scale = max(float(np.sqrt(np.mean(ref[:, :-1] ** 2))), 1e-9)
+            for name, kw in candidates:
+                a = policy.predict_action_diff(img, pc, **common, **kw)
+                deltas[name].append(np.abs(a[:, :-1] - ref[:, :-1]) / ref_scale)
+                a_post = unnormalize_actions(a, stats)
+                grip[name].append(np.mean(a_post[:, -1] == ref_post[:, -1]))
+
+    summary = {}
+    for name, _ in candidates:
+        d = np.stack(deltas[name])
+        summary[name] = {
+            # relative to the DDIM-100 chunk's own rms (scale-free)
+            "rel_rms_vs_ddim100": float(np.sqrt(np.mean(d**2))),
+            "rel_max_vs_ddim100": float(d.max()),
+            "gripper_agree": float(np.mean(grip[name])),
+        }
+    result = {
+        "model": args.model, "scenarios": args.scenarios,
+        "weight_seeds": args.weight_seeds, "trace": bool(args.trace),
+        "samplers": summary,
+        "dpm4_vs_ddim8_rms_ratio": summary["dpm4"]["rel_rms_vs_ddim100"]
+        / max(summary["ddim8"]["rel_rms_vs_ddim100"], 1e-12),
+    }
+    print(json.dumps(result))
+    if args.out:
+        Path(args.out).write_text(json.dumps(result, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -188,6 +188,11 @@ def main(argv=None):
         enable_gradient_checkpointing=tc.enable_gradient_checkpointing,
     )
     extra_frozen = ("llm_backbone",) if tc.freeze_llm_backbone else ()
+    if cfg.use_diff:
+        # diffusion-mode training discards the LM CE from the total exactly
+        # like the reference (model_mla.py:206-216), so lm_head receives no
+        # gradient — freeze it (no Adam state, no zero-grad clip-norm work)
+        extra_frozen = extra_frozen + ("lm_head",)
     tx, schedule, _ = optim.make_optimizer(
         params,
         learning_rate=tc.learning_rate,

@@ -46,7 +46,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 INSTRUCTION = "close the box"
 
 
-def run_reference(workdir: str, use_pointcloud: bool = False):
+def run_reference(workdir: str, use_pointcloud: bool = False, llm_kw=None):
     import numpy as np
     import torch
     from PIL import Image
@@ -54,7 +54,8 @@ def run_reference(workdir: str, use_pointcloud: bool = False):
     from tests import ref_harness as rh
 
     mla, tok = rh.build_reference_mla(
-        use_pointcloud=use_pointcloud, use_contrastive=use_pointcloud
+        use_pointcloud=use_pointcloud, use_contrastive=use_pointcloud,
+        **(llm_kw or {}),
     )
     # the reference hard-casts diffusion inputs to bf16 (prismatic.py:873-881)
     # which clashes with fp32 weights on CPU; bf16 end-to-end is also what the
@@ -191,7 +192,7 @@ def _ref_predict_ar_fixed(mla, pil, pc, state7, tok):
     return tok_ids, 0.5 * (norm + 1) * (ahi - alo) + alo
 
 
-def run_ours(workdir: str, golden, tok, with_ar: bool = True):
+def run_ours(workdir: str, golden, tok, with_ar: bool = True, model_kw=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -201,7 +202,7 @@ def run_ours(workdir: str, golden, tok, with_ar: bool = True):
     from mla_tpu.models.mla import normalize_proprio
     from mla_tpu.vla.datasets import add_mask_channel, clip_preprocess
 
-    policy = load_vla(workdir, model_id="mla-golden", tokenizer=tok)
+    policy = load_vla(workdir, model_id="mla-golden", tokenizer=tok, **(model_kw or {}))
     img = add_mask_channel(clip_preprocess(golden["img_uint8"], 672))
 
     ours_diff = policy.predict_action_diff(
@@ -241,7 +242,7 @@ def run_ours(workdir: str, golden, tok, with_ar: bool = True):
     ours_eps0 = np.asarray(dfn(jnp.asarray(golden["noise"].reshape(1, 16, 7)), t0))
 
     if not with_ar:
-        return ours_diff, ours_raw, None, None, ours_eps0
+        return ours_diff, ours_raw, None, None, ours_eps0, None
     ours_ar = policy.predict_action_ar(img, golden["pc"], INSTRUCTION, unnorm_key="rlbench")
     # the raw greedy token ids for the exact-match check
     ar_ids_in = mla_mod.build_prompt_ids(tok, INSTRUCTION, mode="ar")
@@ -251,7 +252,59 @@ def run_ours(workdir: str, golden, tok, with_ar: bool = True):
         {"front_image": jnp.asarray(img[None])}, jnp.asarray(golden["pc"][None]),
         jnp.zeros((1, 1, policy.cfg.action_dim), jnp.float32),
     )
-    return ours_diff, ours_raw, np.asarray(ours_ar), np.asarray(toks[0]), ours_eps0
+
+    # teacher-forced margin analysis: replay the REFERENCE's greedy ids
+    # through our decode path and record, at every step, the fp32-logit gap
+    # between our argmax and the reference's chosen token, in units of that
+    # step's logit std. Greedy ids can only legitimately differ where this
+    # gap is a rounding-scale near-tie (deep bf16 stacks accumulate ~1e-3
+    # relative drift); a real divergence shows up as a large gap.
+    from mla_tpu.models import prismatic as prismatic_mod
+
+    decoder = prismatic_mod.get_decoder(policy.cfg)
+    cfgl = policy.cfg
+    cache_max = ar_ids_in.shape[1] + cfgl.fused_len + cfgl.action_dim + policy.cache_margin
+    ref_toks = jnp.asarray(np.asarray(golden["ar_ids"]).reshape(-1), jnp.int32)
+
+    @jax.jit
+    def tf_logits(params, state, ids_prefix, images, pc, ref_toks):
+        prefix = mla_mod.build_prefix_embeds(params, state, cfgl, ids_prefix, images, pc)
+        kv, last_logits = mla_mod.prefill(params, cfgl, prefix, cache_max)
+        P = prefix.shape[1]
+
+        def step(carry, inputs):
+            i, tok = inputs
+            cache, logits = carry
+            emb = decoder.embed_tokens(params["llm_backbone"], tok[None, None])
+            key_mask = (jnp.arange(cache_max) < P + i + 1)[None, :]
+            out = decoder.forward(
+                params["llm_backbone"], cfgl.llama, emb,
+                kv_cache=cache, cache_len=P + i, key_mask=key_mask,
+            )
+            # emit the distribution the i-th token was chosen FROM
+            return (out["kv_cache"], out["logits"][:, -1]), logits[0]
+
+        (_, _), logit_seq = jax.lax.scan(
+            step, (kv, last_logits), (jnp.arange(ref_toks.shape[0]), ref_toks)
+        )
+        return logit_seq  # [T, V] fp32
+
+    logit_seq = np.asarray(tf_logits(
+        policy.params, policy.state, jnp.asarray(ar_ids_in),
+        {"front_image": jnp.asarray(img[None])}, jnp.asarray(golden["pc"][None]),
+        ref_toks,
+    ), np.float32)
+    ref_np = np.asarray(golden["ar_ids"]).reshape(-1)
+    margins = []
+    for t in range(len(ref_np)):
+        lt = logit_seq[t]
+        gap = float(lt.max() - lt[ref_np[t]])
+        margins.append(gap / (float(lt.std()) + 1e-9))
+    ar_margin = {
+        "teacher_forced_agree": float(np.mean(np.argmax(logit_seq, -1) == ref_np)),
+        "max_margin_vs_ref": float(np.max(margins)),
+    }
+    return ours_diff, ours_raw, np.asarray(ours_ar), np.asarray(toks[0]), ours_eps0, ar_margin
 
 
 def _zero_eps_transform(noise):
@@ -278,12 +331,28 @@ def main():
 
     import numpy as np
 
+    # (name, use_pointcloud, reference-LLM dims, our model-config overrides,
+    #  run AR). "deep" is the FULL-DEPTH golden (VERDICT r2 #4): production
+    # depth 32 at narrow width 256 — exercises bf16 drift over 32 layers,
+    # RoPE at depth, and the split-scan at contrastive_layer=8 (our scan is
+    # always split at that index, matching the reference's hardcoded
+    # hidden_states[8] capture point, modeling_llama.py:1274) inside a
+    # 32-layer stack, end-to-end vs the real reference stack.
+    scenarios = (
+        ("base", False, None, None, True),
+        ("pointcloud", True, None, None, False),
+        ("deep", False,
+         dict(hidden=256, layers=32, heads=8, intermediate=688),
+         dict(hidden_size=256, num_layers=32, num_heads=8,
+              intermediate_size=688, contrastive_layer=8),
+         True),
+    )
     results = {}
-    for scenario, use_pc in (("base", False), ("pointcloud", True)):
+    for scenario, use_pc, llm_kw, model_kw, with_ar in scenarios:
         workdir = tempfile.mkdtemp(prefix=f"golden_e2e_{scenario}_")
-        golden, tok = run_reference(workdir, use_pointcloud=use_pc)
-        ours_diff, ours_raw, ours_ar, ours_ar_ids, ours_eps0 = run_ours(
-            workdir, golden, tok, with_ar=not use_pc
+        golden, tok = run_reference(workdir, use_pointcloud=use_pc, llm_kw=llm_kw)
+        ours_diff, ours_raw, ours_ar, ours_ar_ids, ours_eps0, ar_margin = run_ours(
+            workdir, golden, tok, with_ar=with_ar, model_kw=model_kw
         )
 
         ref_raw = golden["raw_samples"][0]
@@ -313,6 +382,9 @@ def main():
                 (ours_ar_ids.reshape(-1) == golden["ar_ids"].reshape(-1)).all()
             )
             r["ar_max_abs_err"] = float(np.abs(ours_ar - golden["ar_actions"]).max())
+            if ar_margin is not None:
+                r["ar_teacher_forced_agree"] = ar_margin["teacher_forced_agree"]
+                r["ar_max_margin_vs_ref"] = ar_margin["max_margin_vs_ref"]
         results[scenario] = r
     print("GOLDEN_E2E_RESULT " + json.dumps(results))
 

@@ -145,10 +145,12 @@ def test_bench_emit_json_contract(capsys):
     out = json.loads(capsys.readouterr().out.strip())
     assert out["metric"] == "action_chunks_per_sec_chip"
     assert out["unit"] == "chunks/s"
-    # value is derived from p50 NET of the measured dispatch RTT (declared by
-    # metric_version >= 2; round-1 published gross)
-    assert out["metric_version"] >= 2
-    assert abs(out["value"] - 1.0 / (0.139 - 0.026)) < 1e-2
+    # metric_version 3: value is the qualified DPM-4 serving mode (net of
+    # RTT); the reference-exact DDIM-8 reading is carried alongside
+    assert out["metric_version"] >= 3
+    assert out["sampler"] == "dpm4"
+    assert out["value"] == 14.5
+    assert abs(out["ddim8_chunks_per_sec"] - 1.0 / (0.139 - 0.026)) < 1e-2
     assert out["p50_ms"] == 139.0 and out["p50_net_ms"] == 113.0
     assert out["vs_baseline"] == round(out["value"] / 2.3, 3)
     for k in ("dispatch_rtt_ms", "batch_chunks_per_sec", "dpm4_chunks_per_sec",

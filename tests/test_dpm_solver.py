@@ -121,3 +121,36 @@ def test_policy_dpm_sampler_end_to_end():
         policy.predict_action_diff(
             img, pc, "x", input_ids=ids, sampler="dpm", use_ddim=False
         )
+
+
+def test_dpm4_fidelity_on_real_trained_model():
+    """Sampler fidelity on the REAL composed model (VERDICT r2 #2), not the
+    analytic-Gaussian testbed: briefly train mla-tiny on the production
+    diffusion objective (so the eps field is consistent — an untrained
+    model's DDIM trajectories diverge chaotically and qualify nothing),
+    then compare DPM-4 and DDIM-8 against the DDIM-100 fidelity reference
+    from the same weights/observations/noise. DPM-4 must track DDIM-100 at
+    least as closely as the reference-exact DDIM-8 does. The full sweep
+    (more seeds/scenarios/step counts) is scripts/qualify_samplers.py."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import qualify_samplers as qs
+
+    policy = qs.build_policy("mla-tiny", 0, train_steps=40)
+    img, pc, proprio = qs.make_scenarios(policy, 2, None)[1]
+    noise = np.random.default_rng(9001).normal(
+        size=(policy.cfg.action_horizon, policy.cfg.action_dim)
+    ).astype(np.float32)
+    common = dict(cur_robot_state=proprio, unnorm_key="qualify", noise=noise,
+                  instruction="close the jar", return_normalized=True)
+    ref = policy.predict_action_diff(img, pc, num_ddim_steps=100, **common)
+    d8 = policy.predict_action_diff(img, pc, num_ddim_steps=8, **common)
+    dpm4 = policy.predict_action_diff(img, pc, sampler="dpm", num_dpm_steps=4, **common)
+
+    def rms(a):
+        return float(np.sqrt(np.mean((a[:, :-1] - ref[:, :-1]) ** 2)))
+
+    assert np.isfinite(dpm4).all() and np.isfinite(d8).all()
+    assert rms(dpm4) <= rms(d8) * 1.05, (rms(dpm4), rms(d8))

@@ -58,6 +58,30 @@ def test_golden_e2e_matches_reference():  # subprocess carries its own 2400s tim
     assert base["ar_ids_equal"], results
     assert base["ar_max_abs_err"] < 1e-5, results
 
+    # full-DEPTH golden (VERDICT r2 #4): production depth 32 (narrow width
+    # 256, contrastive split at the reference's hardcoded layer 8). bf16
+    # rounding drift compounds over 8x more layers, so eps0 gets a modestly
+    # looser bound than the 4-layer base. Greedy AR ids are asserted exact
+    # UP TO measured bf16 near-ties: replaying the reference's ids
+    # teacher-forced, any step where our argmax differs must be within a
+    # drift-scale logit margin of the reference's choice (in units of that
+    # step's logit std). The observed margin (0.085 on this fixture) is the
+    # same order as the depth-32 eps0 drift itself (max_rel 0.082) — a
+    # random-init deep model has near-uniform logits, so drift-scale
+    # near-ties flip argmax legitimately. A real divergence (wrong
+    # attention layout, RoPE offset, split-scan bug) produces margins of
+    # MANY logit stds and still fails the 0.15 bound.
+    deep = results["deep"]
+    assert deep["eps0_mean_rel_err"] < 5e-2, results
+    assert deep["eps0_max_rel_err"] < 0.3, results
+    assert deep["ar_ids_equal"] or deep["ar_max_margin_vs_ref"] < 0.15, results
+    assert deep["ar_max_abs_err"] < 1e-5, results
+    assert deep["model_dependence"] > 0.05, results
+
+    # the shallow base model has confident logits — there the greedy ids
+    # ARE bit-exact and teacher-forced agreement is total
+    assert base.get("ar_teacher_forced_agree", 1.0) == 1.0, results
+
     # scenario 2: FULL multisensory composition (1024-pt Point_PN tokenizer,
     # 3D->2D projection, contrastive heads in the checkpoint). The reference
     # needs fp32-input casts + autocast here, whose per-op rounding differs
