@@ -86,6 +86,28 @@ def build_from_cfg(cfg: Dict[str, Any], registry: Registry = MODELS, **kwargs):
     return registry.build(cfg, **kwargs)
 
 
+@MODELS.register(name="Point_PN")
+def _build_point_pn(**cfg_kwargs):
+    """Config-driven Point_PN build (reference build_model_from_cfg with
+    the Point_PN NAME): returns (cfg, init, apply)."""
+    from mla_tpu.models import point_tokenizer as pt
+
+    cfg = pt.PointTokenizerConfig(**cfg_kwargs)
+    return cfg, (lambda key: pt.point_tokenizer_init(key, cfg)), pt.point_tokenizer
+
+
+@MODELS.register(name="KMeansEmbed")
+def _build_kmeans_embed(in_chans: int = 3, num_groups: int = 256,
+                        encoder_dim: int = 256, feature_type: str = "dp"):
+    def init(key):
+        return kmeans_embed_init(key, in_chans, encoder_dim, feature_type)
+
+    def apply(p, xyz):
+        return kmeans_embed(p, xyz, num_groups=num_groups, feature_type=feature_type)
+
+    return init, apply
+
+
 # --------------------------------------------------------------------------- #
 # Neighborhood feature assembly (reference local_aggregation.CHANNEL_MAP)
 # --------------------------------------------------------------------------- #

@@ -373,11 +373,29 @@ def apply_frame_transforms(
             if not k.startswith("image_"):
                 continue
             size = _size_for(k[len("image_"):])
+            # frames carry [window] encoded strings; TRAJECTORY-level use
+            # (EpisodicRLDSDataset, no flattening) carries [T, window] —
+            # decode over the flattened leading dims either way
+            raw = obs[k]
+            # frames carry [window]-leading images; TRAJECTORY-level use
+            # (EpisodicRLDSDataset, no flattening) carries [T, window] —
+            # decode/resize over the flattened leading dims either way.
+            # encoded strings are all-leading-dims; decoded uint8 arrays
+            # keep their [H, W, C] tail
+            n_lead = raw.shape.ndims if raw.dtype == tf.string else raw.shape.ndims - 3
+            lead = tf.shape(raw)[:n_lead]
+            flat = tf.reshape(
+                raw, tf.concat([[-1], tf.shape(raw)[n_lead:]], axis=0)
+            )
             img = tf.map_fn(
-                lambda im: T.decode_and_resize_image(im, size[0]), obs[k],
+                lambda im: T.decode_and_resize_image(im, size[0]), flat,
                 fn_output_signature=tf.uint8,
             )
-            kw = _kwargs_for(k[len("image_"):]) if train else None
+            img = tf.reshape(img, tf.concat([lead, [size[0], size[1], 3]], axis=0))
+            # augmentation operates on single [H,W,3] frames — only the
+            # flattened frame path (one leading dim) reaches it; the
+            # trajectory-level path (EpisodicRLDSDataset) is eval-only
+            kw = _kwargs_for(k[len("image_"):]) if train and n_lead == 1 else None
             if kw:
                 img = tf.map_fn(
                     lambda im: T.augment_image(im, seed + i, **kw), img,

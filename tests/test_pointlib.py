@@ -229,3 +229,23 @@ def test_pcviews_projects_six_views():
     assert np.isfinite(imgs).all()
     # projected depths are negative-through-camera translate (-1.6): nonzero
     assert (np.abs(imgs) > 0).any()
+
+
+def test_models_registry_builds_point_pn_and_kmeans_embed():
+    """Config-driven builds (reference build.build_model_from_cfg)."""
+    cfg, init, apply = pl.build_from_cfg(
+        {"NAME": "Point_PN", "input_points": 64, "embed_dim": 12,
+         "k_neighbors": 8, "lga_blocks": (2, 1), "dim_expansion": (2, 2),
+         "out_dim": 24}
+    )
+    params = init(jax.random.PRNGKey(0))
+    assert params
+
+    init2, apply2 = pl.build_from_cfg(
+        {"NAME": "KMeansEmbed", "num_groups": 8, "encoder_dim": 32}
+    )
+    p2 = init2(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(10)
+    xyz = jnp.asarray(rng.normal(size=(1, 64, 3)).astype(np.float32))
+    cent, feats, _, _ = apply2(p2, xyz)
+    assert cent.shape == (1, 8, 3) and feats.shape == (1, 8, 32)

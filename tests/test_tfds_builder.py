@@ -247,3 +247,31 @@ def test_train_cli_on_disk_data_root(tmp_path):
     assert proc.returncode == 0, proc.stderr[-4000:]
     ckpts = list((run_root / "ondisk" / "checkpoints").glob("step-*"))
     assert ckpts, proc.stderr[-2000:]
+
+
+def test_rlds_dataset_classes_off_disk(tmp_path):
+    """The two user-facing dataset classes run against the on-disk root:
+    RLDSDataset (interleaved frame stream) and EpisodicRLDSDataset (whole
+    chunked trajectories; reference EpisodicRLDSDataset)."""
+    from mla_tpu.vla.rlds.dataset import EpisodicRLDSDataset, RLDSDataset
+
+    write_rlbench_fixture(tmp_path)
+
+    ds = RLDSDataset(str(tmp_path), "rlbench", train=True, shuffle_buffer_size=16,
+                     load_pointcloud=True, image_size=32)
+    assert len(ds) == 30
+    assert "rlbench" in ds.dataset_statistics
+    it = iter(ds)
+    f = next(it)
+    assert f["observation"]["image_primary"].shape == (1, 32, 32, 3)
+    assert f["action"].shape == (16, 7)
+
+    eds = EpisodicRLDSDataset(str(tmp_path), "rlbench", train=False,
+                              load_pointcloud=True, image_size=32)
+    trajs = list(iter(eds))
+    # val split = train[95%:] -> 1 of the 3 episodes
+    assert len(trajs) == 1
+    t = trajs[0]
+    T_len = t["action"].shape[0]
+    assert t["action"].shape == (T_len, 16, 7)  # per-step chunked windows
+    assert t["observation"]["image_primary"].shape[0] == T_len
