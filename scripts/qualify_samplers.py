@@ -46,19 +46,24 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def build_policy(model_id: str, weight_seed: int, train_steps: int = 0):
+def trained_model(model_id: str, weight_seed: int, train_steps: int = 0):
     import jax
 
     from mla_tpu.conf.models import get_model_config
     from mla_tpu.models import prismatic
-    from mla_tpu.models.mla import MLAPolicy
-    from mla_tpu.vla.tokenizer import SimpleTokenizer
 
     cfg = get_model_config(model_id.removesuffix("-int8"), use_contrastive=False)
     params, state = prismatic.mla_model_init(jax.random.PRNGKey(weight_seed), cfg)
     if train_steps:
         params, state = _train(params, state, cfg, train_steps, weight_seed)
-    if model_id.endswith("-int8"):
+    return params, state, cfg
+
+
+def make_policy(params, state, cfg, quantize: bool = False):
+    from mla_tpu.models.mla import MLAPolicy
+    from mla_tpu.vla.tokenizer import SimpleTokenizer
+
+    if quantize:
         from mla_tpu.ops.quantization import quantize_llama
 
         params = {**params, "llm_backbone": quantize_llama(params["llm_backbone"])}
@@ -67,6 +72,11 @@ def build_policy(model_id: str, weight_seed: int, train_steps: int = 0):
         "proprio": {"q01": [-1.0] * cfg.action_dim, "q99": [1.0] * cfg.action_dim},
     }}
     return MLAPolicy(params, state, cfg, tokenizer=SimpleTokenizer(), norm_stats=stats)
+
+
+def build_policy(model_id: str, weight_seed: int, train_steps: int = 0):
+    params, state, cfg = trained_model(model_id, weight_seed, train_steps)
+    return make_policy(params, state, cfg, quantize=model_id.endswith("-int8"))
 
 
 def _train(params, mstate, cfg, steps: int, seed: int):
@@ -133,6 +143,9 @@ def main(argv=None):
     p.add_argument("--trace", default=None, help="npz with images/point_clouds")
     p.add_argument("--train_steps", type=int, default=120,
                    help="diffusion-objective train steps before measuring")
+    p.add_argument("--compare_int8", action="store_true",
+                   help="also measure W8A8-int8 vs bf16 serving fidelity "
+                        "(same trained weights, same noise, DDIM-8)")
     p.add_argument("--out", default=None, help="write full JSON here")
     args = p.parse_args(argv)
 
@@ -145,8 +158,16 @@ def main(argv=None):
     deltas = {name: [] for name, _ in candidates}
     grip = {name: [] for name, _ in candidates}
 
+    int8_deltas, int8_grip = [], []
     for wseed in args.weight_seeds:
-        policy = build_policy(args.model, wseed, train_steps=args.train_steps)
+        tparams, tstate, tcfg = trained_model(args.model, wseed, args.train_steps)
+        policy = make_policy(tparams, tstate, tcfg,
+                             quantize=args.model.endswith("-int8"))
+        int8_policy = (
+            make_policy(tparams, tstate, tcfg, quantize=True)
+            if args.compare_int8 and not args.model.endswith("-int8")
+            else None
+        )
         scenarios = make_scenarios(policy, args.scenarios, args.trace)
         for si, (img, pc, proprio) in enumerate(scenarios):
             noise = np.random.default_rng(9000 + si).normal(
@@ -168,6 +189,19 @@ def main(argv=None):
                 a_post = unnormalize_actions(a, stats)
                 grip[name].append(np.mean(a_post[:, -1] == ref_post[:, -1]))
 
+            if int8_policy is not None:
+                # serving-quantization fidelity: W8A8 int8 vs bf16 on the
+                # SAME weights / observations / noise, reference-exact
+                # DDIM-8 on both sides, normalized-chunk space
+                a16 = policy.predict_action_diff(img, pc, num_ddim_steps=8, **common)
+                a8 = int8_policy.predict_action_diff(img, pc, num_ddim_steps=8, **common)
+                scale16 = max(float(np.sqrt(np.mean(a16[:, :-1] ** 2))), 1e-9)
+                int8_deltas.append(np.abs(a8[:, :-1] - a16[:, :-1]) / scale16)
+                int8_grip.append(np.mean(
+                    unnormalize_actions(a8, stats)[:, -1]
+                    == unnormalize_actions(a16, stats)[:, -1]
+                ))
+
     summary = {}
     for name, _ in candidates:
         d = np.stack(deltas[name])
@@ -184,6 +218,13 @@ def main(argv=None):
         "dpm4_vs_ddim8_rms_ratio": summary["dpm4"]["rel_rms_vs_ddim100"]
         / max(summary["ddim8"]["rel_rms_vs_ddim100"], 1e-12),
     }
+    if int8_deltas:
+        d = np.stack(int8_deltas)
+        result["int8_vs_bf16"] = {
+            "rel_rms": float(np.sqrt(np.mean(d**2))),
+            "rel_max": float(d.max()),
+            "gripper_agree": float(np.mean(int8_grip)),
+        }
     print(json.dumps(result))
     if args.out:
         Path(args.out).write_text(json.dumps(result, indent=2))
