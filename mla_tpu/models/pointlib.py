@@ -219,12 +219,12 @@ def kmeans_embed_init(key, in_chans: int = 3, encoder_dim: int = 256,
 
 def _segment_max(values: jnp.ndarray, labels: jnp.ndarray, k: int) -> jnp.ndarray:
     """[B, N, C] max-reduced by cluster label -> [B, K, C] (empty -> 0),
-    via a masked max over a one-hot expansion (torch_scatter reduce='max')."""
-    onehot = jax.nn.one_hot(labels, k, dtype=bool)        # [B, N, K]
-    expanded = jnp.where(
-        onehot[..., None], values[:, :, None, :], -jnp.inf
-    )  # [B, N, K, C]
-    out = expanded.max(axis=1)                            # [B, K, C]
+    torch_scatter reduce='max' semantics. vmapped segment_max keeps memory
+    at O(N*C) (a one-hot expansion would materialize [B, N, K, C])."""
+    out = jax.vmap(
+        lambda v, l: jax.ops.segment_max(v, l, num_segments=k)
+    )(values, labels)
+    # segment_max fills empty segments with -inf; torch_scatter yields 0
     return jnp.where(jnp.isfinite(out), out, 0.0)
 
 

@@ -118,14 +118,18 @@ def make_optimizer(
     )
 
     # optax.masked: frozen leaves never enter the clip/adam pipeline — the
-    # global norm is computed over trainable params only (torch's
-    # clip_grad_norm_ over requires-grad params; zero grads contribute
-    # nothing to the norm either way, so numerics are unchanged), no Adam
-    # state is allocated for them (e.g. ~1.5 GB for the 131M-param lm_head,
-    # frozen in diffusion-mode training), and XLA never constant-folds a
-    # 131M-element zero-grad norm at compile time (an 83 s stall in the
-    # multichip dryrun). _zero_frozen then kills the passed-through raw
-    # grads of the frozen leaves.
+    # global norm is computed over TRAINABLE params only, matching the
+    # reference (frozen torch params have requires_grad=False -> grad None
+    # -> excluded from FSDP clip_grad_norm_). NOTE this is a behavior
+    # change vs the pre-round-3 chain, which clipped by the norm INCLUDING
+    # frozen-module grads before zeroing them: freeze-stage runs now take
+    # the reference's (larger) effective steps. For diffusion-mode
+    # lm_head (grads identically zero) numerics are unchanged. Masking
+    # also allocates no Adam state for frozen leaves (~1.5 GB for the
+    # 131M-param lm_head) and stops XLA constant-folding a 131M-element
+    # zero-grad norm at compile time (an 83 s stall in the multichip
+    # dryrun). _zero_frozen then kills the passed-through raw grads of the
+    # frozen leaves.
     tx = optax.chain(
         optax.masked(
             optax.chain(

@@ -373,9 +373,6 @@ def apply_frame_transforms(
             if not k.startswith("image_"):
                 continue
             size = _size_for(k[len("image_"):])
-            # frames carry [window] encoded strings; TRAJECTORY-level use
-            # (EpisodicRLDSDataset, no flattening) carries [T, window] —
-            # decode over the flattened leading dims either way
             raw = obs[k]
             # frames carry [window]-leading images; TRAJECTORY-level use
             # (EpisodicRLDSDataset, no flattening) carries [T, window] —
@@ -388,7 +385,7 @@ def apply_frame_transforms(
                 raw, tf.concat([[-1], tf.shape(raw)[n_lead:]], axis=0)
             )
             img = tf.map_fn(
-                lambda im: T.decode_and_resize_image(im, size[0]), flat,
+                lambda im: T.decode_and_resize_image(im, size), flat,
                 fn_output_signature=tf.uint8,
             )
             img = tf.reshape(img, tf.concat([lead, [size[0], size[1], 3]], axis=0))

@@ -164,9 +164,6 @@ def write_rlds_dataset(
 # reader
 # --------------------------------------------------------------------------- #
 
-_SPLIT_RE = re.compile(r"^(\w+)(?:\[(\d+)?%?:?(?:(\d+)%)?\])?$")
-
-
 def _parse_split(spec: str):
     """'train' | 'train[:95%]' | 'train[95%:]' -> (name, lo_pct, hi_pct)."""
     m = re.match(r"^(\w+)$", spec)
@@ -200,7 +197,14 @@ class MiniRLDSBuilder:
         base = Path(data_dir).expanduser() / name
         if not base.exists():
             raise FileNotFoundError(f"no dataset directory {base}")
-        versions = sorted(d for d in base.iterdir() if d.is_dir())
+        def version_key(d):
+            # numeric ordering like real tfds: '1.10.0' > '1.9.0'
+            try:
+                return (1, tuple(int(p) for p in d.name.split(".")))
+            except ValueError:
+                return (0, (0,))
+
+        versions = sorted((d for d in base.iterdir() if d.is_dir()), key=version_key)
         self.dir = versions[-1] if versions else base
         if not (self.dir / "dataset_info.json").exists():
             raise FileNotFoundError(f"{self.dir} has no dataset_info.json")
@@ -257,7 +261,12 @@ class MiniRLDSBuilder:
             raise ValueError(f"split {base!r} not in {list(self.info.splits)}")
         n = self.info.splits[base].num_examples
         files = sorted(str(p) for p in self.dir.glob(f"{self.name}-{base}.tfrecord-*"))
-        if shuffle_files:
+        # percent sub-splits are carved from the CANONICAL sorted episode
+        # order (like real tfds, which resolves sub-split boundaries before
+        # any file shuffling) — shuffling files first would make
+        # train[:95%] / train[95%:] overlap across calls. File shuffling
+        # therefore only applies to full-split reads.
+        if shuffle_files and (lo, hi) == (0, 100):
             import random
 
             random.Random(0).shuffle(files)

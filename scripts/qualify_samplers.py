@@ -26,9 +26,14 @@ untrained-model outputs and would mask sampler differences):
   * gripper agreement (the post-processed, binarized last dim) vs DDIM-100
 
 Usage:
-  python scripts/qualify_samplers.py                     # mla-small, CPU ok
-  python scripts/qualify_samplers.py --model mla-7b-int8 # real chip
+  python scripts/qualify_samplers.py                     # mla-tiny, CPU ok
   python scripts/qualify_samplers.py --trace obs.npz     # real observations
+  python scripts/qualify_samplers.py --compare_int8      # + W8A8 fidelity
+
+7B-scale runs need a multi-chip mesh or --train_steps 0 with already-
+trained weights: the default training phase holds bf16 params + fp32 Adam
+state, which does not fit the single 16 GB dev chip at 7B (no trained 7B
+checkpoint exists in this environment; see PARITY.md known gaps).
 
 Emits one JSON line per (sampler, aggregate) and a summary table; the
 headline numbers are recorded in docs/kernels.md.

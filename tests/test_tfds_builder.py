@@ -275,3 +275,26 @@ def test_rlds_dataset_classes_off_disk(tmp_path):
     T_len = t["action"].shape[0]
     assert t["action"].shape == (T_len, 16, 7)  # per-step chunked windows
     assert t["observation"]["image_primary"].shape[0] == T_len
+
+
+def test_percent_splits_partition_even_with_file_shuffling(tmp_path):
+    """train[:95%] and train[95%:] must partition the episode set exactly —
+    even when the training read requests shuffle_files=True (percent
+    sub-splits resolve on the canonical sorted order, like real tfds;
+    shuffling files first would leak episodes across the split boundary)."""
+    write_rlbench_fixture(tmp_path, n_episodes=6, lens=(4, 5, 6), num_shards=3)
+    b = tfds_compat.builder("rlbench", tmp_path)
+
+    def episode_keys(split, shuffle):
+        out = []
+        for ep in b.as_dataset(split=split, shuffle_files=shuffle):
+            steps = list(ep["steps"])
+            out.append(tuple(np.asarray(steps[0]["action"]).round(5).tolist()))
+        return out
+
+    train = episode_keys("train[:95%]", True)
+    val = episode_keys("train[95%:]", False)
+    everything = episode_keys("train", False)
+    assert len(train) == 5 and len(val) == 1
+    assert set(train) | set(val) == set(everything)
+    assert not (set(train) & set(val))
