@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mla_tpu.conf.models import get_model_config
+from mla_tpu.conf.models import MODEL_REGISTRY, get_model_config
 from mla_tpu.models import convert, prismatic
 from mla_tpu.models.mla import MLAPolicy
 from mla_tpu.utils.overwatch import initialize_overwatch
@@ -45,7 +45,7 @@ def _read_json(path: Path) -> Optional[Dict]:
 def load_vla(
     checkpoint_or_run_dir,
     *,
-    model_id: str = "mla-7b",
+    model_id: Optional[str] = None,
     tokenizer=None,
     load_for_training: bool = False,
     use_ema: bool = False,
@@ -78,6 +78,12 @@ def load_vla(
         if isinstance(cfg_src, dict) and k in cfg_src:
             flags[k] = cfg_src[k]
     flags.update(flag_overrides)
+    if model_id is None:
+        # our run dirs record the model under train.base_vlm (scripts/train.py
+        # config dump); the reference's base_vlm id is registered too. Fall
+        # back to the 7B flagship for bare reference .pt checkpoints.
+        recorded = cfg_src.get("base_vlm") if isinstance(cfg_src, dict) else None
+        model_id = recorded if recorded in MODEL_REGISTRY else "mla-7b"
     cfg = get_model_config(model_id, **flags)
 
     params, state = prismatic.mla_model_init(jax.random.PRNGKey(0), cfg)

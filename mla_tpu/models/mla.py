@@ -620,25 +620,50 @@ class MLAPolicy:
         self,
         images,        # [B, 4, H, W]
         pointclouds,   # [B, P, 3]
-        instruction: str,
+        instruction: Optional[str] = None,
         unnorm_key: Optional[str] = None,
         seed: int = 0,
-        input_ids: Optional[np.ndarray] = None,
+        input_ids: Optional[np.ndarray] = None,   # [1, L] shared or [B, L] per-row
+        cur_robot_states: Optional[np.ndarray] = None,  # [B, action_dim]
+        sampler: str = "ddim",
+        num_dpm_steps: int = 4,
+        num_ddim_steps: Optional[int] = None,
     ) -> np.ndarray:
         """Batched diffusion serving (throughput mode): one prefill + denoise
-        for B observations sharing a prompt — weight reads amortize across
-        the batch. Returns [B, horizon, action_dim]."""
+        for B observations — weight reads amortize across the batch
+        (bench.py `batch_chunks_per_sec`; the compound batched-DPM-4 mode is
+        `sampler="dpm"`). Prompts may differ per row as long as they share a
+        token length (the splice layout is static per graph); pass `input_ids`
+        as [B, L], or a single `instruction` / [1, L] row to broadcast.
+        Returns [B, horizon, action_dim]."""
         cfg = self.cfg
         if input_ids is None:
+            if instruction is None:
+                raise ValueError("pass either instruction or input_ids")
             input_ids = build_prompt_ids(self.tokenizer, instruction, mode="diff")
         B = images.shape[0]
-        ids = np.repeat(np.asarray(input_ids), B, axis=0)
+        ids = np.asarray(input_ids)
+        if ids.shape[0] == 1 and B > 1:
+            ids = np.repeat(ids, B, axis=0)
+        if ids.shape[0] != B:
+            raise ValueError(f"input_ids rows {ids.shape[0]} != batch {B}")
         prefix_ids = jnp.asarray(ids[:, :-1])
         tail_ids = jnp.asarray(ids[:, -1:])
-        proprio = jnp.zeros((B, 1, cfg.action_dim), jnp.float32)
+        if cur_robot_states is not None:
+            pstats = self.get_proprio_stats(unnorm_key)
+            proprio = jnp.asarray(np.stack([
+                normalize_proprio(np.asarray(s, np.float32), pstats)
+                for s in cur_robot_states
+            ])[:, None, :])
+        else:
+            proprio = jnp.zeros((B, 1, cfg.action_dim), jnp.float32)
         noise_key, sample_key = jax.random.split(jax.random.PRNGKey(seed))
         noise = jax.random.normal(noise_key, (B, cfg.action_horizon, cfg.action_dim), jnp.float32)
-        fn = self._diff_fn(int(prefix_ids.shape[1]), 1, use_ddpm=False)
+        fn = self._diff_fn(
+            int(prefix_ids.shape[1]), 1, use_ddpm=False,
+            sampler=sampler, num_dpm_steps=num_dpm_steps,
+            num_ddim_steps=num_ddim_steps,
+        )
         samples = fn(
             self.params, self.state, prefix_ids, tail_ids,
             {"front_image": jnp.asarray(images)}, jnp.asarray(pointclouds),

@@ -1,0 +1,136 @@
+"""HTTP serving host: dynamic-batching action-chunk prediction.
+
+Beyond-parity deployment front-end (the reference ships only the in-process
+RLBench loop, scripts/test_rlbench.py); wraps
+`mla_tpu.serving.BatchingServer` — concurrent requests coalesce into one
+bucketed batched device call, which is where the single-chip throughput is
+(bench.py: 14+ chunks/s at B=1 vs 18+ at B=4 on mla-7b-int8).
+
+    python scripts/serve.py --checkpoint runs/<id> --port 8700 \
+        [--sampler dpm|ddim] [--max_wait_ms 5]
+
+Protocol (stdlib-only client, see tests/test_serving.py):
+
+  POST /predict   body = npz archive with
+                    image       [H, W, 3] uint8 raw frame  (or [4, S, S]
+                                float32 already CLIP-preprocessed+mask)
+                    pointcloud  [P, 3] float32
+                    instruction scalar string
+                    proprio     [action_dim] float32          (optional)
+                    unnorm_key  scalar string                 (optional)
+                  -> {"actions": [[...] x horizon]}
+  GET  /stats     -> batching counters (device calls, avg batch size, ...)
+  GET  /healthz   -> {"ok": true}
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _prep_image(img: np.ndarray, size: int) -> np.ndarray:
+    """Raw [H, W, 3] uint8 -> CLIP-preprocessed [4, S, S]; pass through
+    already-preprocessed [4, S, S] float inputs."""
+    img = np.asarray(img)
+    if img.ndim == 3 and img.shape[0] == 4:
+        return img.astype(np.float32)
+    from mla_tpu.vla.datasets import add_mask_channel, clip_preprocess
+
+    return add_mask_channel(clip_preprocess(img.astype(np.uint8), size))
+
+
+def make_handler(server, cfg):
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet access log
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True})
+            elif self.path == "/stats":
+                self._json(200, server.stats())
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                with np.load(io.BytesIO(self.rfile.read(n)), allow_pickle=False) as z:
+                    image = _prep_image(z["image"], cfg.vision.image_size)
+                    pc = np.asarray(z["pointcloud"], np.float32)
+                    instruction = str(z["instruction"])
+                    proprio = (
+                        np.asarray(z["proprio"], np.float32) if "proprio" in z else None
+                    )
+                    unnorm_key = str(z["unnorm_key"]) if "unnorm_key" in z else None
+                actions = server.predict(
+                    image, pc, instruction,
+                    cur_robot_state=proprio, unnorm_key=unnorm_key,
+                )
+                self._json(200, {"actions": np.asarray(actions).tolist()})
+            except Exception as e:  # noqa: BLE001 — report to the client
+                self._json(400, {"error": f"{type(e).__name__}: {e}"[:400]})
+
+    return Handler
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True,
+                   help="run dir / .pt for load_vla (use_ema via --use_ema)")
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--tokenizer", default=None,
+                   help="HF tokenizer path (default: SimpleTokenizer)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8700)
+    p.add_argument("--sampler", default="dpm", choices=["dpm", "ddim"])
+    p.add_argument("--num_dpm_steps", type=int, default=4)
+    p.add_argument("--max_wait_ms", type=float, default=5.0)
+    p.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4])
+    args = p.parse_args(argv)
+
+    from mla_tpu.models.load import load_vla
+    from mla_tpu.serving import BatchingServer
+    from mla_tpu.vla.tokenizer import SimpleTokenizer, load_llama_tokenizer
+
+    tokenizer = (
+        load_llama_tokenizer(args.tokenizer) if args.tokenizer else SimpleTokenizer()
+    )
+    policy = load_vla(args.checkpoint, use_ema=args.use_ema, tokenizer=tokenizer)
+    server = BatchingServer(
+        policy, buckets=args.buckets, max_wait_ms=args.max_wait_ms,
+        sampler=args.sampler, num_dpm_steps=args.num_dpm_steps,
+    )
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server, policy.cfg))
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(sampler={args.sampler}, buckets={args.buckets})", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,245 @@
+"""Dynamic-batching serving host (mla_tpu/serving/ + scripts/serve.py).
+
+Logic tests run against a fake policy (no JAX dispatch); one smoke test runs
+the real composed mla-tiny model through the server end to end; the HTTP
+front-end is exercised with a live ThreadingHTTPServer on a loopback port.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import sys
+import threading
+import time
+import urllib.request
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from mla_tpu.models.mla import build_prompt_ids
+from mla_tpu.serving import BatchingServer
+from mla_tpu.vla.tokenizer import SimpleTokenizer
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+
+class FakePolicy:
+    """Shape-faithful stand-in: row b of the output encodes (row index into
+    the submitted batch, mean of that row's image) so tests can verify that
+    each caller gets its own row back and padding rows are dropped."""
+
+    def __init__(self, action_dim=7, horizon=16, fail=False, delay_s=0.0):
+        self.cfg = SimpleNamespace(
+            action_dim=action_dim, action_horizon=horizon,
+            vision=SimpleNamespace(image_size=32),
+        )
+        self.tokenizer = SimpleTokenizer()
+        self.calls = []
+        self.fail = fail
+        self.delay_s = delay_s
+
+    def predict_action_diff_batched(self, images, pcs, instruction=None, *,
+                                    input_ids=None, cur_robot_states=None,
+                                    unnorm_key=None, seed=0, sampler="ddim",
+                                    num_dpm_steps=4, num_ddim_steps=None):
+        if self.delay_s:
+            time.sleep(self.delay_s)
+        if self.fail:
+            raise RuntimeError("device on fire")
+        B = images.shape[0]
+        self.calls.append({
+            "B": B, "L": int(input_ids.shape[1]), "sampler": sampler,
+            "unnorm_key": unnorm_key,
+            "proprio": None if cur_robot_states is None else np.asarray(cur_robot_states),
+        })
+        out = np.zeros((B, self.cfg.action_horizon, self.cfg.action_dim), np.float32)
+        out[:, 0, 0] = np.arange(B)
+        out[:, 0, 1] = images.reshape(B, -1).mean(axis=1)
+        return out
+
+
+def _obs(v: float, size=32, pts=64):
+    img = np.full((4, size, size), v, np.float32)
+    pc = np.full((pts, 3), v, np.float32)
+    return img, pc
+
+
+def test_concurrent_requests_coalesce_into_one_padded_call():
+    policy = FakePolicy(delay_s=0.3)
+    with BatchingServer(policy, buckets=(1, 2, 4), max_wait_ms=5) as srv:
+        # the first request's batching window (5 ms) closes before the others
+        # are submitted; its slow device call (300 ms) then keeps the worker
+        # busy while the next three queue up — they must coalesce into ONE
+        # bucketed call
+        futs = [srv.submit(*_obs(0.0), "close the box")]
+        time.sleep(0.1)
+        futs += [srv.submit(*_obs(float(i)), "close the box") for i in (1, 2, 3)]
+        results = [f.result(timeout=10) for f in futs]
+
+    assert [c["B"] for c in policy.calls] == [1, 4]  # 1 warm + 3 coalesced→pad 4
+    # each caller got its own row back (row index ∧ image mean round-trip)
+    for i, r in enumerate(results):
+        assert r.shape == (16, 7)
+        assert r[0, 1] == pytest.approx(float(i))
+    s = srv.stats()
+    assert s["requests"] == 4 and s["device_calls"] == 2
+    assert s["padded_rows"] == 1 and s["errors"] == 0
+    assert s["avg_batch_size"] == pytest.approx(2.5)
+
+
+def test_requests_group_by_prompt_length_and_unnorm_key():
+    policy = FakePolicy(delay_s=0.3)
+    tok = SimpleTokenizer()
+    short = build_prompt_ids(tok, "go", mode="diff")
+    long = build_prompt_ids(tok, "carefully close the upper drawer", mode="diff")
+    assert short.shape[1] != long.shape[1]
+    with BatchingServer(policy, buckets=(1, 2, 4), max_wait_ms=5) as srv:
+        warm = srv.submit(*_obs(9.0), input_ids=short)
+        time.sleep(0.1)
+        futs = [
+            srv.submit(*_obs(1.0), input_ids=short),
+            srv.submit(*_obs(2.0), input_ids=long),
+            srv.submit(*_obs(3.0), input_ids=short),
+        ]
+        for f in [warm] + futs:
+            f.result(timeout=10)
+    post_warm = policy.calls[1:]
+    assert sorted((c["B"], c["L"]) for c in post_warm) == sorted(
+        [(2, short.shape[1]), (1, long.shape[1])]
+    )
+
+
+def test_error_propagates_to_every_caller_and_server_survives():
+    policy = FakePolicy(fail=True)
+    with BatchingServer(policy, max_wait_ms=1) as srv:
+        f1 = srv.submit(*_obs(0.0), "x")
+        f2 = srv.submit(*_obs(1.0), "x")
+        for f in (f1, f2):
+            with pytest.raises(RuntimeError, match="device on fire"):
+                f.result(timeout=10)
+        policy.fail = False
+        ok = srv.submit(*_obs(2.0), "x").result(timeout=10)
+        assert ok.shape == (16, 7)
+        assert srv.stats()["errors"] >= 1
+
+
+def test_per_request_proprio_reaches_the_batch():
+    policy = FakePolicy()
+    with BatchingServer(policy, max_wait_ms=1) as srv:
+        srv.submit(*_obs(0.0), "x", cur_robot_state=np.full(7, 0.5, np.float32)) \
+           .result(timeout=10)
+    assert policy.calls[-1]["proprio"] is not None
+    np.testing.assert_allclose(policy.calls[-1]["proprio"][0], np.full(7, 0.5))
+
+
+def test_bucket_validation():
+    with pytest.raises(ValueError, match="buckets"):
+        BatchingServer(FakePolicy(), buckets=(4, 2))
+    with pytest.raises(ValueError, match="buckets"):
+        BatchingServer(FakePolicy(), buckets=())
+
+
+def test_http_front_end_round_trip():
+    from http.server import ThreadingHTTPServer
+
+    import serve as serve_mod
+
+    policy = FakePolicy()
+    with BatchingServer(policy, max_wait_ms=1) as srv:
+        httpd = ThreadingHTTPServer(
+            ("127.0.0.1", 0), serve_mod.make_handler(srv, policy.cfg)
+        )
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+            with urllib.request.urlopen(f"{base}/healthz", timeout=10) as r:
+                assert json.load(r) == {"ok": True}
+
+            img, pc = _obs(2.0)
+            buf = io.BytesIO()
+            np.savez(buf, image=img, pointcloud=pc,
+                     instruction=np.asarray("close the box"),
+                     proprio=np.zeros(7, np.float32))
+            req = urllib.request.Request(f"{base}/predict", data=buf.getvalue(),
+                                         method="POST")
+            with urllib.request.urlopen(req, timeout=30) as r:
+                actions = np.asarray(json.load(r)["actions"])
+            assert actions.shape == (16, 7)
+            assert actions[0, 1] == pytest.approx(2.0)
+
+            with urllib.request.urlopen(f"{base}/stats", timeout=10) as r:
+                stats = json.load(r)
+            assert stats["requests"] == 1 and stats["device_calls"] == 1
+
+            # malformed body reports a client error, does not kill the server
+            bad = urllib.request.Request(f"{base}/predict", data=b"not an npz",
+                                         method="POST")
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(bad, timeout=10)
+            assert ei.value.code == 400
+        finally:
+            httpd.shutdown()
+            t.join(timeout=10)
+
+
+def test_real_tiny_policy_through_server():
+    """End-to-end: the real composed model behind the batching server — two
+    concurrent heterogeneous-proprio requests, one batched device call, and
+    the server's rows match a direct predict_action_diff_batched call with
+    the identical batch composition."""
+    import jax
+
+    from mla_tpu.conf.models import get_model_config
+    from mla_tpu.models import prismatic
+    from mla_tpu.models.mla import MLAPolicy
+
+    cfg = get_model_config("mla-tiny", use_contrastive=False)
+    params, state = prismatic.mla_model_init(jax.random.PRNGKey(0), cfg)
+    stats = {"t": {
+        "action": {"q01": [-1.0] * cfg.action_dim, "q99": [1.0] * cfg.action_dim},
+        "proprio": {"q01": [-1.0] * cfg.action_dim, "q99": [1.0] * cfg.action_dim},
+    }}
+    policy = MLAPolicy(params, state, cfg, tokenizer=SimpleTokenizer(), norm_stats=stats)
+
+    rng = np.random.default_rng(0)
+    size = cfg.vision.image_size
+    obs = []
+    for i in range(2):
+        img = np.concatenate([
+            rng.normal(size=(3, size, size)).astype(np.float32),
+            np.ones((1, size, size), np.float32),
+        ])
+        pc = rng.normal(size=(cfg.point.input_points, 3)).astype(np.float32)
+        obs.append((img, pc))
+    proprios = [np.full(cfg.action_dim, 0.25, np.float32),
+                np.full(cfg.action_dim, -0.5, np.float32)]
+
+    with BatchingServer(policy, buckets=(1, 2), max_wait_ms=500,
+                        sampler="dpm", num_dpm_steps=2) as srv:
+        # warm the worker alone first (compiles the B=1 graph), then submit
+        # two concurrent requests — the 500 ms window coalesces them into one
+        # B=2 device call
+        srv.submit(obs[0][0], obs[0][1], "warm",
+                   cur_robot_state=proprios[0], unnorm_key="t").result(timeout=600)
+        futs = [
+            srv.submit(obs[i][0], obs[i][1], "close the box",
+                       cur_robot_state=proprios[i], unnorm_key="t", seed=5)
+            for i in range(2)
+        ]
+        rows = [f.result(timeout=600) for f in futs]
+    assert srv.stats()["device_calls"] == 2
+
+    ids = build_prompt_ids(policy.tokenizer, "close the box", mode="diff")
+    direct = policy.predict_action_diff_batched(
+        np.stack([obs[0][0], obs[1][0]]), np.stack([obs[0][1], obs[1][1]]),
+        input_ids=np.concatenate([ids, ids], axis=0),
+        cur_robot_states=np.stack(proprios),
+        unnorm_key="t", seed=5, sampler="dpm", num_dpm_steps=2,
+    )
+    np.testing.assert_allclose(np.stack(rows), direct, rtol=1e-5, atol=1e-5)
+    assert np.isfinite(direct).all()
