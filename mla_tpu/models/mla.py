@@ -165,6 +165,22 @@ def mla_train_loss(
 # --------------------------------------------------------------------------- #
 
 
+def _device_clip_preprocess(img_u8: jnp.ndarray) -> jnp.ndarray:
+    """Raw uint8 [B, 3, S, S] CHW frame -> CLIP-normalized float32
+    [B, 4, S, S] with the all-ones mask channel, computed on-device
+    (identical math to the host vla.datasets.clip_preprocess +
+    add_mask_channel; resize/crop, if needed, stays on the host where
+    uint8 PIL resize is cheap)."""
+    from mla_tpu.vla.datasets import CLIP_MEAN, CLIP_STD
+
+    x = img_u8.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(CLIP_MEAN, jnp.float32).reshape(1, 3, 1, 1)
+    std = jnp.asarray(CLIP_STD, jnp.float32).reshape(1, 3, 1, 1)
+    x = (x - mean) / std
+    mask = jnp.ones((x.shape[0], 1) + x.shape[2:], jnp.float32)
+    return jnp.concatenate([x, mask], axis=1)
+
+
 def build_prefix_embeds(
     params: Dict[str, Any],
     state: Dict[str, Any],
@@ -182,7 +198,17 @@ def build_prefix_embeds(
     with_uncond=True appends the classifier-free-guidance unconditional
     prefix (every conditioning embedding replaced by the z_embedder
     `uncondition` vector, reference LabelEmbedder semantics,
-    models/diffusion/models.py:79-97) as a second batch row."""
+    models/diffusion/models.py:79-97) as a second batch row.
+
+    Serving-path option: image dict values may be RAW uint8 [B, 3, S, S]
+    frames — CLIP normalization + the all-ones mask channel then run
+    ON-DEVICE (same math as vla.datasets.clip_preprocess/add_mask_channel,
+    reference CLIPImageProcessor semantics). Shipping uint8 instead of the
+    preprocessed float32 4-channel tensor cuts host->device image bytes
+    5.3x, which is the dominant per-request cost for a remote serving
+    host. The dtype check is static under jit (retraces per dtype)."""
+    images = {k: _device_clip_preprocess(v) if v.dtype == jnp.uint8 else v
+              for k, v in images.items()}
     fused_out = prismatic.get_fused_tokens(
         params, state, cfg, images, point_cloud, tactile, gripper_xyz, training=False
     )
@@ -636,6 +662,31 @@ class MLAPolicy:
         token length (the splice layout is static per graph); pass `input_ids`
         as [B, L], or a single `instruction` / [1, L] row to broadcast.
         Returns [B, horizon, action_dim]."""
+        return self.dispatch_action_diff_batched(
+            images, pointclouds, instruction,
+            unnorm_key=unnorm_key, seed=seed, input_ids=input_ids,
+            cur_robot_states=cur_robot_states, sampler=sampler,
+            num_dpm_steps=num_dpm_steps, num_ddim_steps=num_ddim_steps,
+        )()
+
+    def dispatch_action_diff_batched(
+        self,
+        images,
+        pointclouds,
+        instruction: Optional[str] = None,
+        unnorm_key: Optional[str] = None,
+        seed: int = 0,
+        input_ids: Optional[np.ndarray] = None,
+        cur_robot_states: Optional[np.ndarray] = None,
+        sampler: str = "ddim",
+        num_dpm_steps: int = 4,
+        num_ddim_steps: Optional[int] = None,
+    ):
+        """Asynchronous form of `predict_action_diff_batched`: enqueues the
+        device call (JAX dispatch is async) and returns a zero-arg `finalize`
+        callable that blocks on the result and unnormalizes. Lets a serving
+        host dispatch batch N+1 while batch N still executes on the chip
+        (`mla_tpu.serving.BatchingServer` depth-2 pipelining)."""
         cfg = self.cfg
         if input_ids is None:
             if instruction is None:
@@ -669,10 +720,13 @@ class MLAPolicy:
             {"front_image": jnp.asarray(images)}, jnp.asarray(pointclouds),
             proprio, noise, sample_key,
         )
-        out = np.asarray(samples)
-        return np.stack([
-            unnormalize_actions(out[b], self.get_action_stats(unnorm_key)) for b in range(B)
-        ])
+
+        def finalize() -> np.ndarray:
+            out = np.asarray(samples)   # blocks until the device call completes
+            stats = self.get_action_stats(unnorm_key)
+            return np.stack([unnormalize_actions(out[b], stats) for b in range(B)])
+
+        return finalize
 
     def predict_action_ar(
         self,

@@ -14,8 +14,10 @@ are grouped by prompt token length (the splice layout is static per graph).
 Padding rows repeat a real row; their outputs are dropped.
 
 Threading model: callers submit from any thread; a single worker thread owns
-all JAX dispatch (one in-flight device call at a time — the chip is the
-bottleneck, extra concurrency would only interleave compiles).
+all JAX dispatch. Because JAX dispatch is asynchronous, the worker keeps up
+to TWO batches in flight (dispatch batch N+1 while batch N executes, then
+block on N) — host-side batch assembly, transfers, and per-dispatch RTT
+hide under device execution, while result order stays FIFO per batch.
 
     server = BatchingServer(policy, sampler="dpm", max_wait_ms=5.0)
     fut = server.submit(image, pointcloud, "close the box", unnorm_key="rlbench")
@@ -46,10 +48,16 @@ class ServeRequest:
     seed: int
     future: Future = field(default_factory=Future)
 
-    def group_key(self) -> Tuple[int, Optional[str]]:
-        # one device call per (prompt length, unnorm stats) group: the prompt
-        # length fixes the compiled graph, the stats fix the un/normalization
-        return (int(self.input_ids.shape[1]), self.unnorm_key)
+    def group_key(self) -> Tuple:
+        # one device call per (prompt length, unnorm stats, image/pc
+        # signature) group: the prompt length and input shapes/dtypes fix
+        # the compiled graph (uint8 raw frames and preprocessed float32
+        # images are distinct graphs), the stats fix the un/normalization
+        return (
+            int(self.input_ids.shape[1]), self.unnorm_key,
+            self.image.shape, str(self.image.dtype),
+            self.pointcloud.shape,
+        )
 
 
 class BatchingServer:
@@ -167,18 +175,50 @@ class BatchingServer:
         return batch
 
     def _run(self) -> None:
+        # Depth-2 pipeline: after dispatching a batch (JAX dispatch is
+        # async — the call is enqueued, not executed), opportunistically
+        # drain + dispatch the NEXT batch before blocking on the first
+        # one's results, so host-side batching/transfer/dispatch overhead
+        # (and the dev tunnel's per-dispatch RTT) hides under the chip's
+        # execution of the in-flight batch.
+        in_flight: list = []      # [(reqs, n, finalize)]
+        shutdown = False
         while True:
-            item = self._q.get()
-            if item is None:
-                return
-            batch = self._drain(item)
+            if not in_flight:
+                item = self._q.get()          # idle: block for work
+                if item is None:
+                    return
+                batch = self._drain(item)
+            elif len(in_flight) < 2:          # room to dispatch ahead
+                batch = []
+                try:
+                    nxt = self._q.get_nowait()  # busy: only take ready work
+                    if nxt is None:
+                        shutdown = True
+                    else:
+                        batch = self._drain(nxt)
+                except queue.Empty:
+                    pass
+            else:                             # depth cap reached: drain later
+                batch = []
             groups: Dict[Tuple[int, Optional[str]], list] = {}
             for r in batch:
                 groups.setdefault(r.group_key(), []).append(r)
             for reqs in groups.values():
-                self._execute(reqs)
+                in_flight.append(self._dispatch(reqs))
+            # keep at most one extra batch dispatched behind the executing
+            # one; with nothing left to dispatch, block on the oldest
+            if len(in_flight) > 1 or (in_flight and (shutdown or self._q.empty())):
+                self._finish(*in_flight.pop(0))
+            if shutdown:
+                for entry in in_flight:
+                    self._finish(*entry)
+                return
 
-    def _execute(self, reqs: list) -> None:
+    def _dispatch(self, reqs: list):
+        """Assemble a bucketed batch and enqueue the device call; returns
+        (reqs, n, finalize) where finalize blocks and yields [bucket, ...]
+        actions (or None if dispatch itself failed — errors already set)."""
         n = len(reqs)
         bucket = next(b for b in self.buckets if b >= n) if n <= self.max_batch else n
         pad = bucket - n
@@ -196,7 +236,7 @@ class BatchingServer:
                 if any(r.proprio is not None for r in reqs)
                 else None
             )
-            out = self.policy.predict_action_diff_batched(
+            finalize = self.policy.dispatch_action_diff_batched(
                 images, pcs,
                 input_ids=ids,
                 cur_robot_states=states,
@@ -210,11 +250,24 @@ class BatchingServer:
                 self._stats["device_calls"] += 1
                 self._stats["batch_size_sum"] += bucket
                 self._stats["padded_rows"] += pad
+            return reqs, n, finalize
+        except Exception as e:  # noqa: BLE001 — propagate to every caller
+            self._fail(reqs, e)
+            return reqs, n, None
+
+    def _finish(self, reqs: list, n: int, finalize) -> None:
+        if finalize is None:
+            return
+        try:
+            out = finalize()
             for r, a in zip(reqs, out[:n]):
                 r.future.set_result(a)
-        except Exception as e:  # noqa: BLE001 — propagate to every caller
-            with self._stats_lock:
-                self._stats["errors"] += 1
-            for r in reqs:
-                if not r.future.done():
-                    r.future.set_exception(e)
+        except Exception as e:  # noqa: BLE001
+            self._fail(reqs, e)
+
+    def _fail(self, reqs: list, e: Exception) -> None:
+        with self._stats_lock:
+            self._stats["errors"] += 1
+        for r in reqs:
+            if not r.future.done():
+                r.future.set_exception(e)

@@ -12,8 +12,10 @@ bucketed batched device call, which is where the single-chip throughput is
 Protocol (stdlib-only client, see tests/test_serving.py):
 
   POST /predict   body = npz archive with
-                    image       [H, W, 3] uint8 raw frame  (or [4, S, S]
-                                float32 already CLIP-preprocessed+mask)
+                    image       [H, W, 3] uint8 raw frame — preferred:
+                                stays uint8, CLIP preprocess runs on-device
+                                (5.3x fewer host->device bytes). [4, S, S]
+                                float32 already-preprocessed also accepted.
                     pointcloud  [P, 3] float32
                     instruction scalar string
                     proprio     [action_dim] float32          (optional)
@@ -38,14 +40,26 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _prep_image(img: np.ndarray, size: int) -> np.ndarray:
-    """Raw [H, W, 3] uint8 -> CLIP-preprocessed [4, S, S]; pass through
-    already-preprocessed [4, S, S] float inputs."""
+    """Raw [H, W, 3] uint8 -> [3, S, S] uint8 CHW (CLIP normalization +
+    mask channel run ON-DEVICE, models/mla.py _device_clip_preprocess —
+    shipping uint8 cuts host->device image bytes 5.3x); pass through
+    already-preprocessed [4, S, S] float inputs. Host only resizes/crops,
+    and only when the frame is not already size x size."""
     img = np.asarray(img)
     if img.ndim == 3 and img.shape[0] == 4:
         return img.astype(np.float32)
-    from mla_tpu.vla.datasets import add_mask_channel, clip_preprocess
+    img = img.astype(np.uint8)
+    if img.shape[:2] != (size, size):
+        from PIL import Image as PILImage
 
-    return add_mask_channel(clip_preprocess(img.astype(np.uint8), size))
+        pil = PILImage.fromarray(img)
+        w, h = pil.size
+        scale = size / min(w, h)
+        pil = pil.resize((round(w * scale), round(h * scale)), PILImage.BICUBIC)
+        w, h = pil.size
+        left, top = (w - size) // 2, (h - size) // 2
+        img = np.asarray(pil.crop((left, top, left + size, top + size)))
+    return img.transpose(2, 0, 1)  # [3, S, S] uint8
 
 
 def make_handler(server, cfg):

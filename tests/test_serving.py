@@ -41,24 +41,36 @@ class FakePolicy:
         self.fail = fail
         self.delay_s = delay_s
 
-    def predict_action_diff_batched(self, images, pcs, instruction=None, *,
-                                    input_ids=None, cur_robot_states=None,
-                                    unnorm_key=None, seed=0, sampler="ddim",
-                                    num_dpm_steps=4, num_ddim_steps=None):
-        if self.delay_s:
-            time.sleep(self.delay_s)
+    def dispatch_action_diff_batched(self, images, pcs, instruction=None, *,
+                                     input_ids=None, cur_robot_states=None,
+                                     unnorm_key=None, seed=0, sampler="ddim",
+                                     num_dpm_steps=4, num_ddim_steps=None):
+        # mirrors the real policy's async contract: dispatch is cheap and
+        # records the call; finalize simulates blocking on device execution
         if self.fail:
             raise RuntimeError("device on fire")
         B = images.shape[0]
-        self.calls.append({
+        call = {
             "B": B, "L": int(input_ids.shape[1]), "sampler": sampler,
             "unnorm_key": unnorm_key,
             "proprio": None if cur_robot_states is None else np.asarray(cur_robot_states),
-        })
-        out = np.zeros((B, self.cfg.action_horizon, self.cfg.action_dim), np.float32)
-        out[:, 0, 0] = np.arange(B)
-        out[:, 0, 1] = images.reshape(B, -1).mean(axis=1)
-        return out
+            "dispatch_t": time.monotonic(),
+        }
+        self.calls.append(call)
+
+        def finalize():
+            if self.delay_s:
+                time.sleep(self.delay_s)
+            call["finalize_t"] = time.monotonic()
+            out = np.zeros((B, self.cfg.action_horizon, self.cfg.action_dim), np.float32)
+            out[:, 0, 0] = np.arange(B)
+            out[:, 0, 1] = images.reshape(B, -1).mean(axis=1)
+            return out
+
+        return finalize
+
+    def predict_action_diff_batched(self, *args, **kwargs):
+        return self.dispatch_action_diff_batched(*args, **kwargs)()
 
 
 def _obs(v: float, size=32, pts=64):
@@ -110,6 +122,43 @@ def test_requests_group_by_prompt_length_and_unnorm_key():
     assert sorted((c["B"], c["L"]) for c in post_warm) == sorted(
         [(2, short.shape[1]), (1, long.shape[1])]
     )
+
+
+def test_depth2_pipelining_dispatches_next_batch_during_execution():
+    """With more waiting requests than one bucket holds, the worker must
+    dispatch batch 2 BEFORE blocking on batch 1's results (JAX async
+    dispatch hides host batching under device execution)."""
+    policy = FakePolicy(delay_s=0.25)
+    with BatchingServer(policy, buckets=(1, 2), max_wait_ms=5) as srv:
+        warm = srv.submit(*_obs(9.0), "x")
+        time.sleep(0.05)
+        # four requests arrive while the warm call executes -> two B=2
+        # batches; batch 2's dispatch must precede batch 1's finalize
+        futs = [srv.submit(*_obs(float(i)), "x") for i in range(4)]
+        for f in [warm] + futs:
+            f.result(timeout=10)
+    b1, b2 = policy.calls[1], policy.calls[2]
+    assert (b1["B"], b2["B"]) == (2, 2)
+    assert b2["dispatch_t"] < b1["finalize_t"], (
+        "second batch was not dispatched while the first executed"
+    )
+
+
+def test_dispatch_ahead_depth_is_capped_at_two():
+    """Under sustained overload the worker must never queue more than two
+    device calls ahead (bounds device-side input-buffer memory): call i's
+    dispatch waits for call i-2's results."""
+    policy = FakePolicy(delay_s=0.1)
+    with BatchingServer(policy, buckets=(1,), max_wait_ms=1) as srv:
+        futs = [srv.submit(*_obs(float(i)), "x") for i in range(6)]
+        for f in futs:
+            f.result(timeout=10)
+    calls = policy.calls
+    assert len(calls) == 6
+    for i in range(2, len(calls)):
+        assert calls[i]["dispatch_t"] >= calls[i - 2]["finalize_t"], (
+            f"call {i} dispatched before call {i - 2} finished"
+        )
 
 
 def test_error_propagates_to_every_caller_and_server_survives():
@@ -185,6 +234,44 @@ def test_http_front_end_round_trip():
         finally:
             httpd.shutdown()
             t.join(timeout=10)
+
+
+def test_uint8_on_device_preprocess_matches_host_path():
+    """Serving accepts RAW uint8 CHW frames; CLIP normalization + mask
+    channel run on-device (models/mla.py _device_clip_preprocess) and must
+    reproduce the host clip_preprocess/add_mask_channel math (the two
+    paths ship 5.3x different byte counts but identical conditioning)."""
+    import jax
+
+    from mla_tpu.conf.models import get_model_config
+    from mla_tpu.models import prismatic
+    from mla_tpu.models.mla import MLAPolicy, build_prompt_ids
+    from mla_tpu.vla.datasets import CLIP_MEAN, CLIP_STD
+
+    cfg = get_model_config("mla-tiny", use_contrastive=False)
+    params, state = prismatic.mla_model_init(jax.random.PRNGKey(0), cfg)
+    stats = {"t": {
+        "action": {"q01": [-1.0] * cfg.action_dim, "q99": [1.0] * cfg.action_dim},
+        "proprio": {"q01": [-1.0] * cfg.action_dim, "q99": [1.0] * cfg.action_dim},
+    }}
+    policy = MLAPolicy(params, state, cfg, tokenizer=SimpleTokenizer(), norm_stats=stats)
+
+    rng = np.random.default_rng(3)
+    size = cfg.vision.image_size
+    raw_hwc = rng.integers(0, 256, size=(size, size, 3)).astype(np.uint8)
+    # host reference path: float32 normalize + mask channel
+    f = raw_hwc.astype(np.float32) / 255.0
+    f = ((f - CLIP_MEAN) / CLIP_STD).transpose(2, 0, 1)
+    host_img = np.concatenate([f, np.ones((1, size, size), np.float32)])
+    pc = rng.normal(size=(cfg.point.input_points, 3)).astype(np.float32)
+    ids = build_prompt_ids(policy.tokenizer, "close the box", mode="diff")
+
+    kw = dict(input_ids=ids, unnorm_key="t", seed=5, sampler="dpm", num_dpm_steps=2)
+    a_host = policy.predict_action_diff_batched(host_img[None], pc[None], **kw)
+    a_dev = policy.predict_action_diff_batched(
+        raw_hwc.transpose(2, 0, 1)[None], pc[None], **kw
+    )
+    np.testing.assert_allclose(a_dev, a_host, rtol=1e-4, atol=1e-5)
 
 
 def test_real_tiny_policy_through_server():
