@@ -1,1 +1,1 @@
-from mla_tpu.serving.server import BatchingServer, ServeRequest  # noqa: F401
+from mla_tpu.serving.server import BatchingServer, QueueFull, ServeRequest  # noqa: F401

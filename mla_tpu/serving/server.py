@@ -60,6 +60,11 @@ class ServeRequest:
         )
 
 
+class QueueFull(RuntimeError):
+    """Raised by submit() when the pending-request cap is reached — callers
+    should shed load (HTTP 503) rather than queue unboundedly."""
+
+
 class BatchingServer:
     """Coalesces concurrent predict requests into bucketed batched device
     calls on a single worker thread."""
@@ -73,6 +78,7 @@ class BatchingServer:
         sampler: str = "dpm",
         num_dpm_steps: int = 4,
         num_ddim_steps: Optional[int] = None,
+        max_pending: Optional[int] = None,
     ) -> None:
         if not buckets or list(buckets) != sorted(set(int(b) for b in buckets)):
             raise ValueError(f"buckets must be sorted unique sizes, got {buckets!r}")
@@ -83,11 +89,13 @@ class BatchingServer:
         self.sampler = sampler
         self.num_dpm_steps = num_dpm_steps
         self.num_ddim_steps = num_ddim_steps
+        self.max_pending = max_pending
+        self._pending = 0
         self._q: "queue.Queue[Optional[ServeRequest]]" = queue.Queue()
         self._stats_lock = threading.Lock()
         self._stats: Dict[str, Any] = {
             "requests": 0, "device_calls": 0, "padded_rows": 0,
-            "batch_size_sum": 0, "errors": 0,
+            "batch_size_sum": 0, "errors": 0, "rejected": 0,
         }
         self._closed = False
         self._worker = threading.Thread(target=self._run, name="mla-serve", daemon=True)
@@ -126,9 +134,20 @@ class BatchingServer:
             unnorm_key=unnorm_key, seed=seed,
         )
         with self._stats_lock:
+            if self.max_pending is not None and self._pending >= self.max_pending:
+                self._stats["rejected"] += 1
+                raise QueueFull(
+                    f"{self._pending} requests pending (cap {self.max_pending})"
+                )
+            self._pending += 1
             self._stats["requests"] += 1
+        req.future.add_done_callback(self._on_done)
         self._q.put(req)
         return req.future
+
+    def _on_done(self, _fut) -> None:
+        with self._stats_lock:
+            self._pending -= 1
 
     def predict(self, *args, **kwargs) -> np.ndarray:
         """Blocking convenience wrapper around submit()."""
@@ -147,6 +166,14 @@ class BatchingServer:
             self._closed = True
             self._q.put(None)
             self._worker.join(timeout=30)
+            # fail any requests the worker never picked up
+            while True:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None and not item.future.done():
+                    item.future.set_exception(RuntimeError("server closed"))
 
     def __enter__(self) -> "BatchingServer":
         return self

@@ -38,6 +38,8 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from mla_tpu.serving import QueueFull  # noqa: E402
+
 
 def _prep_image(img: np.ndarray, size: int) -> np.ndarray:
     """Raw [H, W, 3] uint8 -> [3, S, S] uint8 CHW (CLIP normalization +
@@ -102,6 +104,8 @@ def make_handler(server, cfg):
                     cur_robot_state=proprio, unnorm_key=unnorm_key,
                 )
                 self._json(200, {"actions": np.asarray(actions).tolist()})
+            except QueueFull as e:   # shed load: tell the client to back off
+                self._json(503, {"error": f"overloaded: {e}"[:400]})
             except Exception as e:  # noqa: BLE001 — report to the client
                 self._json(400, {"error": f"{type(e).__name__}: {e}"[:400]})
 
@@ -121,6 +125,9 @@ def main(argv=None):
     p.add_argument("--num_dpm_steps", type=int, default=4)
     p.add_argument("--max_wait_ms", type=float, default=5.0)
     p.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4])
+    p.add_argument("--max_pending", type=int, default=64,
+                   help="pending-request cap; beyond it /predict sheds load "
+                        "with HTTP 503 (0 = unbounded)")
     args = p.parse_args(argv)
 
     from mla_tpu.models.load import load_vla
@@ -134,6 +141,7 @@ def main(argv=None):
     server = BatchingServer(
         policy, buckets=args.buckets, max_wait_ms=args.max_wait_ms,
         sampler=args.sampler, num_dpm_steps=args.num_dpm_steps,
+        max_pending=args.max_pending or None,
     )
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server, policy.cfg))
     print(f"serving on http://{args.host}:{args.port} "

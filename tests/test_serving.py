@@ -184,6 +184,63 @@ def test_per_request_proprio_reaches_the_batch():
     np.testing.assert_allclose(policy.calls[-1]["proprio"][0], np.full(7, 0.5))
 
 
+def test_max_pending_sheds_load_and_recovers():
+    from mla_tpu.serving import QueueFull
+
+    policy = FakePolicy(delay_s=0.2)
+    with BatchingServer(policy, buckets=(1,), max_wait_ms=1, max_pending=2) as srv:
+        f1 = srv.submit(*_obs(0.0), "x")
+        f2 = srv.submit(*_obs(1.0), "x")
+        with pytest.raises(QueueFull):
+            srv.submit(*_obs(2.0), "x")
+        assert srv.stats()["rejected"] == 1
+        f1.result(timeout=10)
+        f2.result(timeout=10)
+        # capacity frees as futures resolve
+        assert srv.submit(*_obs(3.0), "x").result(timeout=10).shape == (16, 7)
+
+
+def test_http_503_on_overload():
+    from http.server import ThreadingHTTPServer
+
+    import serve as serve_mod
+
+    policy = FakePolicy(delay_s=0.5)
+    with BatchingServer(policy, buckets=(1,), max_wait_ms=1, max_pending=1) as srv:
+        httpd = ThreadingHTTPServer(
+            ("127.0.0.1", 0), serve_mod.make_handler(srv, policy.cfg)
+        )
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            def body(v):
+                img, pc = _obs(v)
+                buf = io.BytesIO()
+                np.savez(buf, image=img, pointcloud=pc,
+                         instruction=np.asarray("x"))
+                return buf.getvalue()
+
+            base = f"http://127.0.0.1:{port}"
+            slow = threading.Thread(
+                target=lambda: urllib.request.urlopen(
+                    urllib.request.Request(f"{base}/predict", data=body(0.0),
+                                           method="POST"), timeout=30).read(),
+                daemon=True,
+            )
+            slow.start()
+            time.sleep(0.1)   # first request now occupies the only slot
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(
+                    urllib.request.Request(f"{base}/predict", data=body(1.0),
+                                           method="POST"), timeout=10)
+            assert ei.value.code == 503
+            slow.join(timeout=10)
+        finally:
+            httpd.shutdown()
+            t.join(timeout=10)
+
+
 def test_bucket_validation():
     with pytest.raises(ValueError, match="buckets"):
         BatchingServer(FakePolicy(), buckets=(4, 2))
