@@ -230,9 +230,19 @@ def prefill(
     prefix_embeds: jnp.ndarray,
     cache_max_len: int,
     compute_logits: bool = True,
+    use_flash: Optional[bool] = False,
 ) -> Tuple[Dict[str, jnp.ndarray], Optional[jnp.ndarray]]:
     """Run the prefix through the decoder, returning (kv_cache, last_logits).
-    The diffusion path skips the lm_head (157 GFLOP/step saved at 7B)."""
+    The diffusion path skips the lm_head (157 GFLOP/step saved at 7B).
+
+    use_flash: attention implementation for the prefill, measured on the
+    real chip by scripts/profile_prefill_ops.py. XLA attention stays the
+    serving default: even with the flash kernel's MXU dots fixed to
+    bf16-in/fp32-acc (round 3), 32 interleaved pallas_calls lose to XLA's
+    fused command buffer at S=534 — per-launch overhead (~0.16 ms x 32)
+    plus broken weight-DMA prefetch across the kernel boundaries, the same
+    mechanism that sank the fused W8A8 Pallas decode path (docs/kernels.md).
+    Flash remains the default for training lengths (llama_forward auto)."""
     B, P, _ = prefix_embeds.shape
     decoder = prismatic.get_decoder(cfg)
     cache = decoder.init_kv_cache(cfg.llama, B, cache_max_len)
@@ -243,11 +253,7 @@ def prefill(
         # serving prefill: full layer unroll avoids the scan's dynamic
         # weight-slice copies (same finding as the decode path)
         scan_unroll=cfg.llama.num_layers,
-        # measured on the real chip at the 534-token serving prefill: XLA's
-        # fused attention beats the Pallas flash kernel by ~10 ms (24 vs 34
-        # ms prefill) — block-level causal skipping only pays off at longer
-        # sequences, so flash stays the default for training lengths only
-        use_flash=False,
+        use_flash=use_flash,
     )
     return out["kv_cache"], (out["logits"][:, -1] if compute_logits else None)
 

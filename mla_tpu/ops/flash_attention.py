@@ -38,7 +38,11 @@ DEFAULT_BLOCK_K = 128
 
 def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k, sm_scale, causal):
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)  # [BQ, hd]
+    # dots take the INPUT dtype (bf16 on the model path) with fp32
+    # accumulation — fp32 MXU operands run at a fraction of bf16 rate and
+    # measured ~0.3 ms/layer slower at the 534-token serving prefill; this
+    # is also exactly sdpa_reference's einsum numerics (bf16 in, fp32 acc)
+    q = q_ref[0]  # [BQ, hd]
     S = k_ref.shape[1]
     nk = S // block_k
     q_offset = qi * block_q
@@ -51,11 +55,11 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block
 
     def body(ki, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :]
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale  # [BQ, BK]
+        ) * sm_scale  # [BQ, BK] fp32
 
         kmask = mask_ref[0, 0, pl.ds(ki * block_k, block_k)] > 0  # [BK]
         s = jnp.where(kmask[None, :], s, NEG_INF)
@@ -68,8 +72,10 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block
         p = jnp.exp(s - m_new[:, None])
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1)
+        # PV in the value dtype (sdpa_reference: probs.astype(v.dtype)),
+        # accumulated fp32 by the MXU
         acc_new = acc * alpha[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         return m_new, l_new, acc_new
 
@@ -82,8 +88,8 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block
 def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    *, block_q, block_k, sm_scale, causal):
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]  # input dtype; MXU accumulates fp32 (see _fwd_kernel note)
+    do = do_ref[0]
     lse = lse_ref[0, 0]
     delta = delta_ref[0, 0]
     S = k_ref.shape[1]
@@ -92,8 +98,8 @@ def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq
     num_kblocks = (qi + 1) * block_q // block_k if causal else nk
 
     def body(ki, dq):
-        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :]
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * sm_scale
         kmask = mask_ref[0, 0, pl.ds(ki * block_k, block_k)] > 0
         s = jnp.where(kmask[None, :], s, NEG_INF)
@@ -103,18 +109,20 @@ def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq
             s = jnp.where(k_pos <= q_pos, s, NEG_INF)
         p = jnp.exp(s - lse[:, None])  # [BQ, BK]
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None]) * sm_scale
+        ds = (p * (dp - delta[:, None]) * sm_scale).astype(k.dtype)
         return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
-    dq = jax.lax.fori_loop(0, num_kblocks, body, jnp.zeros_like(q))
+    dq = jax.lax.fori_loop(
+        0, num_kblocks, body, jnp.zeros(q.shape, jnp.float32)
+    )
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
                     *, block_q, block_k, sm_scale, causal):
     ki = pl.program_id(1)
-    k = k_ref[0].astype(jnp.float32)  # [BK, hd]
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]  # [BK, hd] input dtype; MXU accumulates fp32
+    v = v_ref[0]
     kmask = mask_ref[0, 0] > 0  # [BK]
     S = q_ref.shape[1]
     nq = S // block_q
@@ -123,8 +131,8 @@ def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, d
 
     def body(qi, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(qi * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qi * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)]
         delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q)]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * sm_scale
@@ -134,14 +142,16 @@ def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, d
             k_pos = k_offset + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             s = jnp.where(k_pos <= q_pos, s, NEG_INF)
         p = jnp.exp(s - lse[:, None])  # [BQ, BK]
-        dv_new = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dv_new = dv + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None]) * sm_scale
+        ds = (p * (dp - delta[:, None]) * sm_scale).astype(q.dtype)
         dk_new = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         return dk_new, dv_new
 
-    dk0 = jnp.zeros_like(k)
-    dv0 = jnp.zeros_like(v)
+    dk0 = jnp.zeros((block_k, k.shape[-1]), jnp.float32)
+    dv0 = jnp.zeros((block_k, v.shape[-1]), jnp.float32)
     dk, dv = jax.lax.fori_loop(start_qblock, nq, body, (dk0, dv0))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
