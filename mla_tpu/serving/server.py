@@ -47,6 +47,8 @@ class ServeRequest:
     unnorm_key: Optional[str]
     seed: int
     future: Future = field(default_factory=Future)
+    t_submit: float = field(default_factory=time.monotonic)
+    t_dispatch: float = 0.0
 
     def group_key(self) -> Tuple:
         # one device call per (prompt length, unnorm stats, image/pc
@@ -97,6 +99,13 @@ class BatchingServer:
             "requests": 0, "device_calls": 0, "padded_rows": 0,
             "batch_size_sum": 0, "errors": 0, "rejected": 0,
         }
+        # bounded rings of recent per-request latencies (seconds) + a batch
+        # occupancy histogram — the observability surface behind stats() and
+        # scripts/serve.py's /metrics endpoint
+        self._lat_window = 512
+        self._queue_wait_s: list = []
+        self._e2e_s: list = []
+        self._batch_hist: Dict[int, int] = {}
         self._closed = False
         self._worker = threading.Thread(target=self._run, name="mla-serve", daemon=True)
         self._worker.start()
@@ -156,10 +165,28 @@ class BatchingServer:
     def stats(self) -> Dict[str, Any]:
         with self._stats_lock:
             s = dict(self._stats)
+            qw, e2e = list(self._queue_wait_s), list(self._e2e_s)
+            s["batch_size_hist"] = dict(sorted(self._batch_hist.items()))
+            s["pending"] = self._pending
         s["avg_batch_size"] = (
             s["batch_size_sum"] / s["device_calls"] if s["device_calls"] else 0.0
         )
+        for name, window in (("queue_wait_ms", qw), ("e2e_ms", e2e)):
+            if window:
+                arr = np.asarray(window) * 1e3
+                s[name] = {
+                    "p50": round(float(np.percentile(arr, 50)), 2),
+                    "p95": round(float(np.percentile(arr, 95)), 2),
+                    "max": round(float(arr.max()), 2),
+                    "window": len(window),
+                }
         return s
+
+    def _record_latency(self, ring: list, value_s: float) -> None:
+        # caller holds _stats_lock
+        ring.append(value_s)
+        if len(ring) > self._lat_window:
+            del ring[: len(ring) - self._lat_window]
 
     def close(self) -> None:
         if not self._closed:
@@ -273,10 +300,15 @@ class BatchingServer:
                 num_dpm_steps=self.num_dpm_steps,
                 num_ddim_steps=self.num_ddim_steps,
             )
+            now = time.monotonic()
             with self._stats_lock:
                 self._stats["device_calls"] += 1
                 self._stats["batch_size_sum"] += bucket
                 self._stats["padded_rows"] += pad
+                self._batch_hist[bucket] = self._batch_hist.get(bucket, 0) + 1
+                for r in reqs:
+                    r.t_dispatch = now
+                    self._record_latency(self._queue_wait_s, now - r.t_submit)
             return reqs, n, finalize
         except Exception as e:  # noqa: BLE001 — propagate to every caller
             self._fail(reqs, e)
@@ -287,6 +319,10 @@ class BatchingServer:
             return
         try:
             out = finalize()
+            now = time.monotonic()
+            with self._stats_lock:
+                for r in reqs:
+                    self._record_latency(self._e2e_s, now - r.t_submit)
             for r, a in zip(reqs, out[:n]):
                 r.future.set_result(a)
         except Exception as e:  # noqa: BLE001

@@ -21,7 +21,8 @@ Protocol (stdlib-only client, see tests/test_serving.py):
                     proprio     [action_dim] float32          (optional)
                     unnorm_key  scalar string                 (optional)
                   -> {"actions": [[...] x horizon]}
-  GET  /stats     -> batching counters (device calls, avg batch size, ...)
+  GET  /stats     -> batching counters + latency percentiles (JSON)
+  GET  /metrics   -> same data in Prometheus text exposition format
   GET  /healthz   -> {"ok": true}
 """
 
@@ -64,6 +65,31 @@ def _prep_image(img: np.ndarray, size: int) -> np.ndarray:
     return img.transpose(2, 0, 1)  # [3, S, S] uint8
 
 
+def render_prometheus(stats: dict) -> str:
+    """BatchingServer.stats() -> Prometheus text exposition format."""
+    lines = []
+
+    def emit(name, value, labels="", mtype="gauge"):
+        lines.append(f"# TYPE {name} {mtype}")
+        lines.append(f"{name}{labels} {value}")
+
+    for key, mtype in (
+        ("requests", "counter"), ("device_calls", "counter"),
+        ("padded_rows", "counter"), ("errors", "counter"),
+        ("rejected", "counter"), ("pending", "gauge"),
+        ("avg_batch_size", "gauge"),
+    ):
+        if key in stats:
+            emit(f"mla_serve_{key}", stats[key], mtype=mtype)
+    for bucket, count in stats.get("batch_size_hist", {}).items():
+        lines.append(f'mla_serve_batches{{bucket="{bucket}"}} {count}')
+    for key in ("queue_wait_ms", "e2e_ms"):
+        if key in stats:
+            for q in ("p50", "p95", "max"):
+                lines.append(f'mla_serve_{key}{{quantile="{q}"}} {stats[key][q]}')
+    return "\n".join(lines) + "\n"
+
+
 def make_handler(server, cfg):
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, obj) -> None:
@@ -82,6 +108,13 @@ def make_handler(server, cfg):
                 self._json(200, {"ok": True})
             elif self.path == "/stats":
                 self._json(200, server.stats())
+            elif self.path == "/metrics":
+                body = render_prometheus(server.stats()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 

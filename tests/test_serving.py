@@ -293,6 +293,64 @@ def test_http_front_end_round_trip():
             t.join(timeout=10)
 
 
+def test_latency_stats_and_batch_histogram():
+    policy = FakePolicy(delay_s=0.05)
+    with BatchingServer(policy, buckets=(1, 2, 4), max_wait_ms=5) as srv:
+        warm = srv.submit(*_obs(0.0), "close the box")
+        time.sleep(0.1)
+        futs = [srv.submit(*_obs(float(i)), "close the box") for i in (1, 2, 3)]
+        for f in [warm] + futs:
+            f.result(timeout=10)
+        s = srv.stats()
+    # 1 warm call (B=1) + 3 coalesced into one padded B=4 call
+    assert s["batch_size_hist"] == {1: 1, 4: 1}
+    assert s["pending"] == 0
+    for key in ("queue_wait_ms", "e2e_ms"):
+        assert s[key]["window"] == 4
+        assert 0.0 <= s[key]["p50"] <= s[key]["p95"] <= s[key]["max"]
+    # every request waited for the device call to finish (>= 50 ms fake
+    # execution), and the coalesced ones additionally queued behind the warm
+    # call, so e2e must dominate queue wait
+    assert s["e2e_ms"]["p50"] >= 50.0
+    assert s["e2e_ms"]["max"] >= s["queue_wait_ms"]["max"]
+
+
+def test_metrics_endpoint_prometheus_format():
+    from http.server import ThreadingHTTPServer
+
+    import serve as serve_mod
+
+    policy = FakePolicy()
+    with BatchingServer(policy, max_wait_ms=1) as srv:
+        httpd = ThreadingHTTPServer(
+            ("127.0.0.1", 0), serve_mod.make_handler(srv, policy.cfg)
+        )
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+            img, pc = _obs(1.0)
+            buf = io.BytesIO()
+            np.savez(buf, image=img, pointcloud=pc,
+                     instruction=np.asarray("close the box"))
+            req = urllib.request.Request(f"{base}/predict", data=buf.getvalue(),
+                                         method="POST")
+            urllib.request.urlopen(req, timeout=30).read()
+
+            with urllib.request.urlopen(f"{base}/metrics", timeout=10) as r:
+                assert r.headers["Content-Type"].startswith("text/plain")
+                body = r.read().decode()
+        finally:
+            httpd.shutdown()
+            t.join(timeout=10)
+    assert "# TYPE mla_serve_requests counter" in body
+    assert "mla_serve_requests 1" in body
+    assert "mla_serve_device_calls 1" in body
+    assert 'mla_serve_batches{bucket="1"} 1' in body
+    assert 'mla_serve_e2e_ms{quantile="p50"}' in body
+
+
 def test_uint8_on_device_preprocess_matches_host_path():
     """Serving accepts RAW uint8 CHW frames; CLIP normalization + mask
     channel run on-device (models/mla.py _device_clip_preprocess) and must
