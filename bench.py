@@ -214,6 +214,37 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
         except Exception:
             return None
 
+    def timed_ar():
+        """actions/s through the AR head (reference predict_action_ar,
+        model_mla.py:494-589): prefill with last-position logits + greedy
+        scan decode of action_dim discretized tokens."""
+        try:
+            fn = policy._ar_fn(ids.shape[1], cfg.action_dim)
+            fn_scalar = jax.jit(
+                lambda *a: sum(x.astype(jnp.float32).sum() for x in fn(*a))
+            )
+            ids_d = jnp.asarray(ids)
+
+            def run(img_in):
+                return float(jax.device_get(fn_scalar(
+                    policy.params, policy.state, ids_d,
+                    {"front_image": img_in}, pc_d, proprio_d,
+                )))
+
+            run(images_d["front_image"])  # warm/compile
+            ts = []
+            for i in range(max(iters // 2, 2)):
+                img_in = images_d["front_image"] + jnp.float32((i + 1) * 1e-4)
+                img_in.block_until_ready()
+                t0 = time.perf_counter()
+                run(img_in)
+                ts.append(time.perf_counter() - t0)
+            return 1.0 / max(float(np.percentile(ts, 50)) - rtt_s, 1e-6)
+        except Exception:
+            return None
+
+    # AR head latency (the reference's other headline inference path)
+    ar_throughput = timed_ar()
     # throughput mode: batched serving (weights amortize across the batch);
     # B=4 fits beside the 7B int8 weights on a 16GB chip (B=8 KV cache OOMs)
     batch_throughput = timed_mode(4, 100)
@@ -256,6 +287,7 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
         "rtt_s": rtt_s,
         "transfer_ms": float(max(np.percentile(e2e, 50) - np.percentile(times, 50), 0.0) * 1e3),
         "batch_chunks_per_sec": batch_throughput, "throughput_batch": 4,
+        "ar_actions_per_sec": ar_throughput,
         "dpm4_chunks_per_sec": dpm4,
         "batch_dpm4_chunks_per_sec": batch_dpm4,
         "suffix_ms_per_step": suffix_ms,
@@ -307,6 +339,11 @@ def _emit(result, model_used, backend, extra=None):
         "batch_dpm4_chunks_per_sec": round(result["batch_dpm4_chunks_per_sec"], 2)
         if result.get("batch_dpm4_chunks_per_sec")
         else None,
+        # the AR action head (reference predict_action_ar): 7 greedy tokens
+        # against the cached multimodal prefix
+        "ar_actions_per_sec": round(result["ar_actions_per_sec"], 2)
+        if result.get("ar_actions_per_sec")
+        else None,
         # perf split (derived in-graph from the DDIM-8 vs DPM-4 eval-count
         # difference; prefill_ms includes the ~1.6 ms front-end)
         "suffix_ms_per_step": round(result["suffix_ms_per_step"], 2)
@@ -349,15 +386,36 @@ def _run_single(model_id: str):
     _emit(result, model_id, backend)
 
 
+def _probe_backend(timeout_s: int = 900):
+    """Resolve jax.default_backend() in a BOUNDED subprocess. Backend init
+    goes through the axon tunnel on this box and blocks indefinitely when
+    the tunnel is down — the bench must degrade to a CPU reading, not hang
+    the driver. Returns the backend string, or None on timeout/failure."""
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if p.returncode == 0 and p.stdout.strip():
+            return p.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        pass
+    return None
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--model":
         _run_single(sys.argv[2])
         return
 
-    import jax
-
-    backend = jax.default_backend()
+    backend = _probe_backend()
     on_tpu = backend == "tpu"
+    child_env = dict(os.environ)
+    if backend is None:
+        # tunnel down: pin the children to CPU (the axon plugin registers at
+        # interpreter startup whenever PALLAS_AXON_TPU_GEN is present-and-
+        # nonempty OR absent; set-but-empty is the clean kill-switch)
+        child_env.update({"PALLAS_AXON_TPU_GEN": "", "JAX_PLATFORMS": "cpu"})
     # int8 weight-only 7B serves from one 16GB chip (bf16-7B needs TP over a
     # v5e-8 — the single tunnel chip can't hold it); 2b is the fallback
     candidates = ["mla-7b-int8", "mla-2b"] if on_tpu else ["mla-tiny"]
@@ -368,7 +426,7 @@ def main():
     for model_id in candidates:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--model", model_id],
-            capture_output=True, text=True, timeout=7200,
+            capture_output=True, text=True, timeout=7200, env=child_env,
         )
         lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
         if proc.returncode == 0 and lines:

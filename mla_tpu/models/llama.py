@@ -399,17 +399,23 @@ def llama_forward(
                 "v": jnp.concatenate([new_cache_lo["v"], new_cache_hi["v"]], axis=0),
             }
     if compute_logits:
-        # fp32 logits, reference modeling_llama.py:1256
-        head = params["lm_head"]
-        hf = out["last_hidden"].astype(jnp.float32)
-        if "w_q4" in head:
-            out["logits"] = nn.linear(head, hf)
-        elif "w_q" in head:
-            # scale after the dot (see nn.linear) so the int8 read fuses
-            out["logits"] = (hf @ head["w_q"].astype(jnp.float32)) * head["w_scale"][0].astype(jnp.float32)
-        else:
-            out["logits"] = hf @ head["w"].astype(jnp.float32)
+        out["logits"] = lm_head_logits(params, out["last_hidden"])
     return out
+
+
+def lm_head_logits(params: Dict[str, Any], hidden: jnp.ndarray) -> jnp.ndarray:
+    """fp32 logits from (final-LN'd) hidden states, reference
+    modeling_llama.py:1256. Serving decode paths that only need the LAST
+    position's distribution should slice `hidden[:, -1:]` BEFORE calling —
+    the lm_head is a 131M-param matmul per position at 7B."""
+    head = params["lm_head"]
+    hf = hidden.astype(jnp.float32)
+    if "w_q4" in head:
+        return nn.linear(head, hf)
+    if "w_q" in head:
+        # scale after the dot (see nn.linear) so the int8 read fuses
+        return (hf @ head["w_q"].astype(jnp.float32)) * head["w_scale"][0].astype(jnp.float32)
+    return hf @ head["w"].astype(jnp.float32)
 
 
 def embed_tokens(params: Dict[str, Any], ids: jnp.ndarray) -> jnp.ndarray:

@@ -249,13 +249,18 @@ def prefill(
     key_mask = (jnp.arange(cache_max_len) < P)[None, :].repeat(B, axis=0)
     out = decoder.forward(
         params["llm_backbone"], cfg.llama, prefix_embeds,
-        kv_cache=cache, cache_len=0, key_mask=key_mask, compute_logits=compute_logits,
+        kv_cache=cache, cache_len=0, key_mask=key_mask, compute_logits=False,
         # serving prefill: full layer unroll avoids the scan's dynamic
         # weight-slice copies (same finding as the decode path)
         scan_unroll=cfg.llama.num_layers,
         use_flash=use_flash,
     )
-    return out["kv_cache"], (out["logits"][:, -1] if compute_logits else None)
+    if not compute_logits:
+        return out["kv_cache"], None
+    # AR decode only consumes the LAST position's distribution — slice before
+    # the 131M-param lm_head matmul instead of projecting all P positions
+    last = decoder.lm_head_logits(params["llm_backbone"], out["last_hidden"][:, -1:])
+    return out["kv_cache"], last[:, -1]
 
 
 def make_suffix_denoise_fn(

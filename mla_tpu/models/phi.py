@@ -196,11 +196,17 @@ def phi_forward(
             "v": jnp.concatenate([clo["v"], chi["v"]], 0),
         }
     if compute_logits:
-        out["logits"] = (
-            out["last_hidden"].astype(jnp.float32) @ params["lm_head"]["w"].astype(jnp.float32)
-            + params["lm_head"]["b"].astype(jnp.float32)
-        )
+        out["logits"] = lm_head_logits(params, out["last_hidden"])
     return out
+
+
+def lm_head_logits(params: Dict[str, Any], hidden: jnp.ndarray) -> jnp.ndarray:
+    """fp32 logits from (final-LN'd) hidden states — phi's biased lm_head.
+    Part of the canonical decoder-module interface (see models/llama.py)."""
+    return (
+        hidden.astype(jnp.float32) @ params["lm_head"]["w"].astype(jnp.float32)
+        + params["lm_head"]["b"].astype(jnp.float32)
+    )
 
 
 def convert_hf_phi(sd: Dict[str, Any], num_layers: int, prefix: str = "") -> Dict[str, Any]:

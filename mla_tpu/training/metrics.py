@@ -107,7 +107,14 @@ class VLAMetrics:
         window_size: int = 10,
         resume_step: Optional[int] = None,
         resume_epoch: Optional[int] = None,
+        flops_per_token: Optional[float] = None,
+        peak_flops: Optional[float] = None,
     ) -> None:
+        # throughput observability (beyond the reference's step_time): with
+        # flops_per_token (6N model-FLOPs convention) and the mesh's total
+        # peak_flops, push() derives tokens/s and MFU from the step window
+        self.flops_per_token = flops_per_token
+        self.peak_flops = peak_flops
         self.run_id, self.run_dir = run_id, Path(run_dir)
         self.trackers = []
         for t in active_trackers:
@@ -122,13 +129,16 @@ class VLAMetrics:
         self.windows = defaultdict(lambda: deque(maxlen=window_size))
 
     def commit(self, *, global_step: Optional[int] = None, epoch: Optional[int] = None,
-               lr: Optional[float] = None, update_step_time: bool = False, **losses) -> None:
+               lr: Optional[float] = None, update_step_time: bool = False,
+               tokens: Optional[int] = None, **losses) -> None:
         if global_step is not None:
             self.global_step = global_step
         if epoch is not None:
             self.epoch = epoch
         if lr is not None:
             self.windows["lr"].append(lr)
+        if tokens is not None:
+            self.windows["tokens"].append(float(tokens))
         if update_step_time:
             self.windows["step_time"].append(time.time() - self.step_start_time)
             self.step_start_time = time.time()
@@ -144,6 +154,13 @@ class VLAMetrics:
             metrics["VLA Train/Learning Rate"] = float(self.windows["lr"][-1])
         if self.windows["step_time"]:
             metrics["VLA Train/Step Time"] = float(np.mean(self.windows["step_time"]))
+        if self.windows["tokens"] and self.windows["step_time"]:
+            tps = float(np.mean(self.windows["tokens"])) / max(
+                float(np.mean(self.windows["step_time"])), 1e-9
+            )
+            metrics["VLA Train/Tokens per Sec"] = tps
+            if self.flops_per_token and self.peak_flops:
+                metrics["VLA Train/MFU"] = tps * self.flops_per_token / self.peak_flops
         for t in self.trackers:
             t.write(self.global_step, metrics)
         loss = metrics.get("VLA Train/total_loss", float("nan"))

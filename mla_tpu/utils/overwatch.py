@@ -63,7 +63,16 @@ class Overwatch:
     def __init__(self, name: str) -> None:
         _configure_root()
         self.logger = logging.getLogger(f"mla_tpu.{name}" if not name.startswith("mla_tpu") else name)
-        self.logger.setLevel(logging.INFO if self.is_rank_zero() else logging.ERROR)
+        # rank gating is resolved LAZILY on first use: jax.process_index()
+        # initializes the backend, and modules create Overwatch instances at
+        # import time — importing mla_tpu must never force backend selection
+        # (it deadlocks under a down TPU tunnel before the caller can pin CPU)
+        self._level_set = False
+
+    def _ensure_level(self) -> None:
+        if not self._level_set:
+            self.logger.setLevel(logging.INFO if self.is_rank_zero() else logging.ERROR)
+            self._level_set = True
 
     # --- rank identity ------------------------------------------------------
     def rank(self) -> int:
@@ -105,15 +114,19 @@ class Overwatch:
 
     # --- logging ------------------------------------------------------------
     def debug(self, msg: str, *args, ctx_level: int = 0, **kwargs) -> None:
+        self._ensure_level()
         self.logger.debug("\t" * ctx_level + msg, *args, **kwargs)
 
     def info(self, msg: str, *args, ctx_level: int = 0, **kwargs) -> None:
+        self._ensure_level()
         self.logger.info("\t" * ctx_level + msg, *args, **kwargs)
 
     def warning(self, msg: str, *args, ctx_level: int = 0, **kwargs) -> None:
+        self._ensure_level()
         self.logger.warning("\t" * ctx_level + msg, *args, **kwargs)
 
     def error(self, msg: str, *args, ctx_level: int = 0, **kwargs) -> None:
+        self._ensure_level()
         self.logger.error("\t" * ctx_level + msg, *args, **kwargs)
 
 

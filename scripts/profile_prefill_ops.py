@@ -83,6 +83,21 @@ def main():
             h = attn_ops.sdpa(h, h, h, causal=True, use_flash=use_flash)
         return h.astype(jnp.float32).sum()
 
+    def attn_bf16s_chain(q):
+        # candidate lever: keep the [B,H,S,S] score tensor in bf16 (softmax
+        # reductions still fp32) — halves the score-materialization HBM
+        # traffic that makes up most of the XLA attention residue
+        import math
+        h = q
+        scale = 1.0 / math.sqrt(hd)
+        cm = (jnp.arange(P)[None, :] <= jnp.arange(P)[:, None])[None, None]
+        for _ in range(L):
+            s = jnp.einsum("bhqd,bhkd->bhqk", h, h) * scale       # bf16 scores
+            s = jnp.where(cm, s, jnp.asarray(-jnp.inf, s.dtype))
+            p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(h.dtype)
+            h = jnp.einsum("bhqk,bhkd->bhqd", p, h)
+        return h.astype(jnp.float32).sum()
+
     def prefill_graph(use_flash):
         def fn(prefix_embeds, params):
             kv, _ = mla_mod.prefill(
@@ -137,6 +152,7 @@ def main():
     except Exception as e:
         print(f"attn_flash failed: {type(e).__name__}: {e}", file=sys.stderr)
         results["attn_flash_ms"] = None
+    results["attn_bf16s_ms"] = round(net(timeit(attn_bf16s_chain, qkv0, vary=0)), 2)
     results["prefill_xla_ms"] = round(net(timeit(prefill_graph(False), h0, params, vary=0)), 2)
     try:
         results["prefill_flash_ms"] = round(net(timeit(prefill_graph(True), h0, params, vary=0)), 2)

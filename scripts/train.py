@@ -222,9 +222,19 @@ def main(argv=None):
         f"per-device={tc.per_device_batch_size} grad_accum={grad_accum} steps={num_steps}"
     )
 
+    # throughput observability: 6N model-FLOPs per token (PaLM MFU
+    # convention — remat recompute not counted) against the mesh's total
+    # bf16 peak (v5e: 197 TFLOPS/chip); tokens/step is committed per batch
+    n_params = sum(
+        int(l.size) for l in jax.tree_util.tree_leaves(state["params"])
+    )
+    peak_flops = (
+        197e12 * jax.device_count() if jax.default_backend() == "tpu" else None
+    )
     metrics = VLAMetrics(
         tc.trackers.split(","), run_id, run_dir,
         hparams=dataclasses.asdict(tc), resume_step=start_step or None,
+        flops_per_token=6.0 * n_params, peak_flops=peak_flops,
     )
 
     # --- loop (reference run_vla_training, base_strategy_mla.py:251-404) ---
@@ -238,9 +248,21 @@ def main(argv=None):
         batch = shard_batch(host_batch, mesh)
         step_key = jax.random.fold_in(rng, step)
         state, step_metrics = step_fn(state, batch, step_key)
+        # decoder tokens actually run this step: prompt + fused block
+        # (+ the diffusion [proprio, t, x_0..15] splice, repeated
+        # repeated_diffusion_steps times with independent noise/t draws)
+        bsz, ids_len = host_batch["input_ids"].shape[:2]
+        seq_len = ids_len + cfg.fused_len
+        reps = 1
+        if tc.use_diff:
+            seq_len += 2 + cfg.action_horizon
+            reps = tc.repeated_diffusion_steps
         metrics.commit(
             global_step=step, epoch=step // steps_per_epoch,
             lr=float(schedule(step)), update_step_time=True,
+            # host_batch already spans the per-host accumulation rows
+            # (per_host_batch above); scale to the global batch by host count
+            tokens=bsz * jax.process_count() * reps * seq_len,
             **{k: v for k, v in step_metrics.items()},
         )
         if step % 10 == 0 or step == num_steps - 1:

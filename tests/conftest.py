@@ -5,10 +5,15 @@ Must run before anything imports jax."""
 import os
 import sys
 
-# force CPU even if the ambient env points at a TPU platform; the axon TPU
-# plugin registers whenever PALLAS_AXON_TPU_GEN is set, so clear it too.
+# force CPU even if the ambient env points at a TPU platform. The axon TPU
+# plugin registers at INTERPRETER STARTUP (site .pth): with
+# PALLAS_AXON_TPU_GEN unset it registers its default TPU backend and a later
+# jax.devices() blocks polling the (possibly down) tunnel even under
+# JAX_PLATFORMS=cpu; with the var set-but-EMPTY the registration fails fast
+# and cleanly. So set "" rather than pop — subprocesses spawned by tests
+# (golden drivers, train smokes) inherit the kill-switch at their startup.
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.pop("PALLAS_AXON_TPU_GEN", None)
+os.environ["PALLAS_AXON_TPU_GEN"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

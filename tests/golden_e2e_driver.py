@@ -39,9 +39,19 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["PALLAS_AXON_TPU_GEN"] = ""
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mla_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+# The axon TPU plugin registers at interpreter startup (site .pth), BEFORE
+# the env lines above run; if the ambient env carried PALLAS_AXON_TPU_GEN,
+# a later jax.devices()/process_index() would initialize the registered TPU
+# backend — blocking on the tunnel — despite JAX_PLATFORMS=cpu. Only a
+# post-import config update reliably pins the platform (same finding as
+# __graft_entry__.dryrun_multichip).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 INSTRUCTION = "close the box"
 

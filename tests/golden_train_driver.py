@@ -32,9 +32,15 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["PALLAS_AXON_TPU_GEN"] = ""
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mla_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+# see golden_e2e_driver.py: the axon plugin registers at interpreter startup,
+# and only a post-import config update reliably pins the platform to CPU
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 B, REP, L = 2, 2, 24
 

@@ -139,6 +139,7 @@ def test_bench_emit_json_contract(capsys):
         {"p50_s": 0.139, "p90_s": 0.145, "mean_s": 0.14, "rtt_s": 0.026,
          "transfer_ms": 100.0, "batch_chunks_per_sec": 14.8,
          "dpm4_chunks_per_sec": 14.5, "throughput_batch": 4,
+         "ar_actions_per_sec": 9.5,
          "suffix_ms_per_step": 10.7, "prefill_ms": 26.0, "mfu_prefill": 0.68},
         "mla-7b-int8", "tpu",
     )
@@ -160,3 +161,4 @@ def test_bench_emit_json_contract(capsys):
     assert out["suffix_ms_per_step"] == 10.7
     assert out["prefill_ms"] == 26.0
     assert out["mfu_prefill"] == 0.68
+    assert out["ar_actions_per_sec"] == 9.5

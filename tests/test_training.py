@@ -125,3 +125,19 @@ def test_vla_metrics_jsonl(tmp_path):
     assert "Loss :: 0.5" in line
     assert (tmp_path / "test-run.jsonl").exists()
     assert (tmp_path / "run-metrics.jsonl").exists()
+
+
+def test_vla_metrics_throughput(tmp_path):
+    import json
+
+    m = VLAMetrics(
+        ["jsonl"], "tp-run", tmp_path, {},
+        flops_per_token=6.0 * 1e9, peak_flops=197e12,
+    )
+    m.step_start_time -= 2.0  # fake a 2 s step
+    m.commit(global_step=1, update_step_time=True, tokens=10_000, total_loss=0.1)
+    m.push()
+    rec = json.loads((tmp_path / "tp-run.jsonl").read_text().splitlines()[-1])
+    tps = rec["VLA Train/Tokens per Sec"]
+    assert tps == pytest.approx(5000.0, rel=0.1)
+    assert rec["VLA Train/MFU"] == pytest.approx(tps * 6e9 / 197e12, rel=1e-6)
