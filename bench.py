@@ -403,6 +403,55 @@ def _probe_backend(timeout_s: int = 900):
     return None
 
 
+def _augment_degraded(json_line: str, on_tpu: bool, backend):
+    """On-TPU readings pass through untouched. A CPU fallback reading (tunnel
+    down / no TPU) is re-labeled so its value is never mistaken for a chip
+    measurement: vs_baseline is zeroed (an mla-tiny CPU number has no
+    relationship to the A100 7B anchor) and the newest recorded TPU bench is
+    attached for context."""
+    if on_tpu:
+        return json_line
+    try:
+        out = json.loads(json_line)
+    except json.JSONDecodeError:
+        return json_line
+    out["vs_baseline"] = 0.0
+    out["degraded"] = (
+        "tpu-tunnel-down: cpu fallback on a tiny model — NOT a chip "
+        "measurement; see last_tpu_bench for the newest recorded TPU reading"
+        if backend is None
+        else f"non-tpu backend '{backend}': not comparable to the A100 anchor"
+    )
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        recs = sorted(
+            f for f in os.listdir(here)
+            if f.startswith("BENCH_r") and f.endswith(".json")
+        )
+        for rec in reversed(recs):
+            with open(os.path.join(here, rec)) as fh:
+                prev = json.load(fh)
+            # the driver's record wraps the bench JSON line in its "tail"
+            bench_lines = [
+                l for l in prev.get("tail", "").splitlines() if l.startswith("{")
+            ]
+            if not bench_lines:
+                continue
+            prev_out = json.loads(bench_lines[-1])
+            if prev_out.get("backend") != "tpu":
+                continue
+            out["last_tpu_bench"] = {
+                "file": rec,
+                "value": prev_out.get("value"),
+                "vs_baseline": prev_out.get("vs_baseline"),
+                "backend": prev_out.get("backend"),
+            }
+            break
+    except Exception:
+        pass
+    return json.dumps(out)
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--model":
         _run_single(sys.argv[2])
@@ -430,7 +479,7 @@ def main():
         )
         lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
         if proc.returncode == 0 and lines:
-            print(lines[-1])
+            print(_augment_degraded(lines[-1], on_tpu, backend))
             return
         last_err = (proc.stderr.strip().splitlines() or ["unknown"])[-1]
     print(json.dumps({"metric": "action_chunks_per_sec_chip", "value": 0.0,

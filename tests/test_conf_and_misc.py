@@ -162,3 +162,28 @@ def test_bench_emit_json_contract(capsys):
     assert out["prefill_ms"] == 26.0
     assert out["mfu_prefill"] == 0.68
     assert out["ar_actions_per_sec"] == 9.5
+
+
+def test_bench_degraded_relabel():
+    """A CPU fallback reading (TPU tunnel down) must never masquerade as a
+    chip measurement: vs_baseline zeroed, degraded note attached, newest
+    recorded TPU bench carried for context. On-TPU lines pass through."""
+    import json
+    import sys
+
+    sys.path.insert(0, ".")
+    import bench
+
+    line = json.dumps({"metric": "action_chunks_per_sec_chip", "value": 0.4,
+                       "vs_baseline": 0.174, "backend": "cpu"})
+    assert bench._augment_degraded(line, on_tpu=True, backend="tpu") == line
+
+    out = json.loads(bench._augment_degraded(line, on_tpu=False, backend=None))
+    assert out["vs_baseline"] == 0.0
+    assert "tunnel-down" in out["degraded"]
+    # the repo carries BENCH_r0*.json records; the newest is attached
+    assert out["last_tpu_bench"]["file"].startswith("BENCH_r")
+    assert out["last_tpu_bench"]["value"] > 0
+
+    out2 = json.loads(bench._augment_degraded(line, on_tpu=False, backend="cpu"))
+    assert "not comparable" in out2["degraded"]
