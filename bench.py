@@ -358,13 +358,19 @@ def _emit(result, model_used, backend, extra=None):
         "baseline_note": (
             "vs analytic A100 estimate of reference predict_action_diff (~2.3 "
             "chunks/s, derivation in BASELINE.md); repo publishes no numbers. "
-            "value/vs_baseline are the DPM-Solver++(2M) 4-eval serving mode "
-            "(qualified against DDIM-100 on the real model, "
-            "scripts/qualify_samplers.py; docs/kernels.md) net of the dev "
-            "tunnel's fixed per-dispatch RTT (dispatch_rtt_ms, measured with "
-            "a trivial op — a serving host colocated with the chip does not "
-            "pay it). The reference-exact DDIM-8 reading is "
-            "ddim8_chunks_per_sec / p50_ms (gross) / p50_net_ms (net)."
+            + (
+                "value/vs_baseline are the DPM-Solver++(2M) 4-eval serving "
+                "mode (qualified against DDIM-100 on the real model, "
+                "scripts/qualify_samplers.py; docs/kernels.md)"
+                if dpm4
+                else "value/vs_baseline are the reference-exact DDIM-8 mode "
+                "(the DPM-4 timing pass failed this run — see 'sampler')"
+            )
+            + " net of the dev tunnel's fixed per-dispatch RTT "
+            "(dispatch_rtt_ms, measured with a trivial op — a serving host "
+            "colocated with the chip does not pay it). The reference-exact "
+            "DDIM-8 reading is ddim8_chunks_per_sec / p50_ms (gross) / "
+            "p50_net_ms (net)."
         ),
     }
     if extra:

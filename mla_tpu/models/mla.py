@@ -665,6 +665,7 @@ class MLAPolicy:
         sampler: str = "ddim",
         num_dpm_steps: int = 4,
         num_ddim_steps: Optional[int] = None,
+        return_normalized: bool = False,
     ) -> np.ndarray:
         """Batched diffusion serving (throughput mode): one prefill + denoise
         for B observations — weight reads amortize across the batch
@@ -672,12 +673,16 @@ class MLAPolicy:
         `sampler="dpm"`). Prompts may differ per row as long as they share a
         token length (the splice layout is static per graph); pass `input_ids`
         as [B, L], or a single `instruction` / [1, L] row to broadcast.
+        `cur_robot_states` rows may be None (no proprio for that request ->
+        normalized zero, identical to the solo predict path).
+        `return_normalized` as in predict_action_diff (pre-clip/-unnorm).
         Returns [B, horizon, action_dim]."""
         return self.dispatch_action_diff_batched(
             images, pointclouds, instruction,
             unnorm_key=unnorm_key, seed=seed, input_ids=input_ids,
             cur_robot_states=cur_robot_states, sampler=sampler,
             num_dpm_steps=num_dpm_steps, num_ddim_steps=num_ddim_steps,
+            return_normalized=return_normalized,
         )()
 
     def dispatch_action_diff_batched(
@@ -692,6 +697,7 @@ class MLAPolicy:
         sampler: str = "ddim",
         num_dpm_steps: int = 4,
         num_ddim_steps: Optional[int] = None,
+        return_normalized: bool = False,
     ):
         """Asynchronous form of `predict_action_diff_batched`: enqueues the
         device call (JAX dispatch is async) and returns a zero-arg `finalize`
@@ -712,9 +718,15 @@ class MLAPolicy:
         prefix_ids = jnp.asarray(ids[:, :-1])
         tail_ids = jnp.asarray(ids[:, -1:])
         if cur_robot_states is not None:
+            # per-row None = no proprio for that request -> NORMALIZED zero,
+            # exactly what the solo predict path uses; normalizing a raw zero
+            # instead would make a request's result depend on which batch it
+            # coalesced into (asymmetric q01/q99 stats shift raw 0)
             pstats = self.get_proprio_stats(unnorm_key)
             proprio = jnp.asarray(np.stack([
                 normalize_proprio(np.asarray(s, np.float32), pstats)
+                if s is not None
+                else np.zeros(cfg.action_dim, np.float32)
                 for s in cur_robot_states
             ])[:, None, :])
         else:
@@ -734,6 +746,8 @@ class MLAPolicy:
 
         def finalize() -> np.ndarray:
             out = np.asarray(samples)   # blocks until the device call completes
+            if return_normalized:
+                return out
             stats = self.get_action_stats(unnorm_key)
             return np.stack([unnormalize_actions(out[b], stats) for b in range(B)])
 

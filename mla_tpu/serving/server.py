@@ -281,12 +281,11 @@ class BatchingServer:
             images = np.stack([r.image for r in rows])
             pcs = np.stack([r.pointcloud for r in rows])
             ids = np.concatenate([r.input_ids for r in rows], axis=0)
+            # per-row None passes through: proprio-less requests get the
+            # NORMALIZED-zero proprio of the solo predict path regardless of
+            # which batch they coalesce into (batch-composition invariance)
             states = (
-                np.stack([
-                    np.asarray(r.proprio, np.float32) if r.proprio is not None
-                    else np.zeros(self.policy.cfg.action_dim, np.float32)
-                    for r in rows
-                ])
+                [r.proprio for r in rows]
                 if any(r.proprio is not None for r in reqs)
                 else None
             )

@@ -39,21 +39,30 @@ CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
-def clip_preprocess(image: np.ndarray, size: int = 672) -> np.ndarray:
-    """uint8 HWC -> float CHW, resized shortest-side + center-crop to
-    `size`, CLIP-normalized (CLIPImageProcessor semantics)."""
+def resize_center_crop(image: np.ndarray, size: int) -> np.ndarray:
+    """uint8 HWC -> uint8 HWC: shortest-side BICUBIC scale + center crop to
+    `size` (the geometric half of CLIPImageProcessor). The single source of
+    this arithmetic — the training transform (clip_preprocess below) and the
+    HTTP serving host (scripts/serve.py, which leaves normalization
+    on-device) must stay pixel-identical or serving silently diverges from
+    what the model was trained on."""
     from PIL import Image as PILImage
 
-    if image.dtype != np.uint8:
-        image = np.clip(image, 0, 255).astype(np.uint8)
     img = PILImage.fromarray(image)
     w, h = img.size
     scale = size / min(w, h)
     img = img.resize((round(w * scale), round(h * scale)), PILImage.BICUBIC)
     w, h = img.size
     left, top = (w - size) // 2, (h - size) // 2
-    img = img.crop((left, top, left + size, top + size))
-    arr = np.asarray(img, np.float32) / 255.0
+    return np.asarray(img.crop((left, top, left + size, top + size)))
+
+
+def clip_preprocess(image: np.ndarray, size: int = 672) -> np.ndarray:
+    """uint8 HWC -> float CHW, resized shortest-side + center-crop to
+    `size`, CLIP-normalized (CLIPImageProcessor semantics)."""
+    if image.dtype != np.uint8:
+        image = np.clip(image, 0, 255).astype(np.uint8)
+    arr = resize_center_crop(image, size).astype(np.float32) / 255.0
     arr = (arr - CLIP_MEAN) / CLIP_STD
     return arr.transpose(2, 0, 1)
 

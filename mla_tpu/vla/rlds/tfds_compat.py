@@ -261,16 +261,41 @@ class MiniRLDSBuilder:
             raise ValueError(f"split {base!r} not in {list(self.info.splits)}")
         n = self.info.splits[base].num_examples
         files = sorted(str(p) for p in self.dir.glob(f"{self.name}-{base}.tfrecord-*"))
-        # percent sub-splits are carved from the CANONICAL sorted episode
-        # order (like real tfds, which resolves sub-split boundaries before
-        # any file shuffling) — shuffling files first would make
-        # train[:95%] / train[95%:] overlap across calls. File shuffling
-        # therefore only applies to full-split reads.
-        if shuffle_files and (lo, hi) == (0, 100):
-            import random
+        start, stop = n * lo // 100, n * hi // 100
+        shard_lengths = self.info.splits[base].shard_lengths
+        if len(shard_lengths) == len(files) and sum(shard_lengths) == n:
+            # resolve the split into per-shard (file, skip, take) read
+            # instructions on the CANONICAL sorted order (like real tfds:
+            # sub-split boundaries bind BEFORE any file shuffling, so
+            # train[:95%] / train[95%:] always partition exactly), then
+            # shuffle the instruction ORDER — fresh OS-entropy seed per
+            # call, matching tfds's nondeterministic shuffle_files default
+            # (a fixed seed would feed the same file-level episode order
+            # every epoch/process).
+            instructions = []
+            off = 0
+            for f, ln in zip(files, shard_lengths):
+                s, e = max(start, off), min(stop, off + ln)
+                if e > s:
+                    instructions.append((f, s - off, e - s))
+                off += ln
+            if shuffle_files:
+                import random
 
-            random.Random(0).shuffle(files)
-        ds = tf.data.TFRecordDataset(files)
+                random.Random().shuffle(instructions)
+            parts = [
+                tf.data.TFRecordDataset(f).skip(skip).take(take)
+                for f, skip, take in instructions
+            ]
+            ds = parts[0] if parts else tf.data.TFRecordDataset(files).take(0)
+            for part in parts[1:]:
+                ds = ds.concatenate(part)
+            start, stop = 0, -1  # carved above; skip the stream-level slice
+        else:
+            # shard metadata absent/inconsistent: fall back to a stream-level
+            # skip/take over the sorted concatenation (no file shuffling —
+            # order is the carving contract here)
+            ds = tf.data.TFRecordDataset(files)
 
         spec = self._parse_spec()
         steps_features = self.features["steps"]
@@ -302,9 +327,7 @@ class MiniRLDSBuilder:
             return out
 
         ds = ds.map(parse, num_parallel_calls=tf.data.AUTOTUNE)
-        if (lo, hi) != (0, 100):
-            start = n * lo // 100
-            stop = n * hi // 100
+        if stop != -1 and (lo, hi) != (0, 100):
             ds = ds.skip(start).take(stop - start)
         return ds
 

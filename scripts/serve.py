@@ -53,15 +53,11 @@ def _prep_image(img: np.ndarray, size: int) -> np.ndarray:
         return img.astype(np.float32)
     img = img.astype(np.uint8)
     if img.shape[:2] != (size, size):
-        from PIL import Image as PILImage
+        # the one shared geometric transform — keeps serving pixel-identical
+        # to the training-side clip_preprocess
+        from mla_tpu.vla.datasets import resize_center_crop
 
-        pil = PILImage.fromarray(img)
-        w, h = pil.size
-        scale = size / min(w, h)
-        pil = pil.resize((round(w * scale), round(h * scale)), PILImage.BICUBIC)
-        w, h = pil.size
-        left, top = (w - size) // 2, (h - size) // 2
-        img = np.asarray(pil.crop((left, top, left + size, top + size)))
+        img = resize_center_crop(img, size)
     return img.transpose(2, 0, 1)  # [3, S, S] uint8
 
 

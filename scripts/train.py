@@ -224,9 +224,20 @@ def main(argv=None):
 
     # throughput observability: 6N model-FLOPs per token (PaLM MFU
     # convention — remat recompute not counted) against the mesh's total
-    # bf16 peak (v5e: 197 TFLOPS/chip); tokens/step is committed per batch
+    # bf16 peak (v5e: 197 TFLOPS/chip); tokens/step is committed per batch.
+    # N counts only what executes PER DECODER TOKEN: the llm_backbone minus
+    # the embed table (a lookup, not a matmul) and minus the lm_head in
+    # diffusion mode (mla_train_loss never projects logits there and the
+    # head is frozen). Front-end tokenizers run once per frame, not per
+    # token — leaving them out makes the published MFU a slight UNDERcount,
+    # never an overcount.
+    llm_params = state["params"]["llm_backbone"]
+    skip = {"embed"} | ({"lm_head"} if tc.use_diff else set())
     n_params = sum(
-        int(l.size) for l in jax.tree_util.tree_leaves(state["params"])
+        int(l.size)
+        for k, sub in llm_params.items()
+        if k not in skip
+        for l in jax.tree_util.tree_leaves(sub)
     )
     peak_flops = (
         197e12 * jax.device_count() if jax.default_backend() == "tpu" else None

@@ -75,7 +75,11 @@ def test_golden_e2e_matches_reference():  # subprocess carries its own 2400s tim
     assert deep["eps0_mean_rel_err"] < 5e-2, results
     assert deep["eps0_max_rel_err"] < 0.3, results
     assert deep["ar_ids_equal"] or deep["ar_max_margin_vs_ref"] < 0.15, results
-    assert deep["ar_max_abs_err"] < 1e-5, results
+    # action equality only follows when the greedy ids match: a legitimate
+    # near-tie flip (covered by the margin clause above) moves the decoded
+    # action by >= one discretization bin, so gate rather than hard-fail
+    if deep["ar_ids_equal"]:
+        assert deep["ar_max_abs_err"] < 1e-5, results
     assert deep["model_dependence"] > 0.05, results
 
     # the shallow base model has confident logits — there the greedy ids

@@ -53,7 +53,8 @@ class FakePolicy:
         call = {
             "B": B, "L": int(input_ids.shape[1]), "sampler": sampler,
             "unnorm_key": unnorm_key,
-            "proprio": None if cur_robot_states is None else np.asarray(cur_robot_states),
+            # keep as-is: the real policy accepts per-row None entries
+            "proprio": cur_robot_states,
             "dispatch_t": time.monotonic(),
         }
         self.calls.append(call)
@@ -182,6 +183,26 @@ def test_per_request_proprio_reaches_the_batch():
            .result(timeout=10)
     assert policy.calls[-1]["proprio"] is not None
     np.testing.assert_allclose(policy.calls[-1]["proprio"][0], np.full(7, 0.5))
+
+
+def test_proprio_less_rows_pass_none_through_mixed_batches():
+    """A proprio-less request coalesced with proprio-bearing ones must reach
+    the policy as a per-row None (-> normalized-zero), NOT a raw zero vector
+    (whose normalization depends on the stats and would make the result
+    depend on batch composition)."""
+    policy = FakePolicy(delay_s=0.3)
+    with BatchingServer(policy, buckets=(1, 2, 4), max_wait_ms=5) as srv:
+        futs = [srv.submit(*_obs(0.0), "x")]            # no proprio
+        time.sleep(0.1)
+        futs.append(srv.submit(*_obs(1.0), "x"))        # no proprio
+        futs.append(srv.submit(*_obs(2.0), "x",
+                               cur_robot_state=np.full(7, 0.5, np.float32)))
+        for f in futs:
+            f.result(timeout=10)
+    mixed = next(c for c in policy.calls if c["B"] >= 2)
+    assert mixed["proprio"] is not None
+    assert mixed["proprio"][0] is None
+    np.testing.assert_allclose(np.asarray(mixed["proprio"][1]), np.full(7, 0.5))
 
 
 def test_max_pending_sheds_load_and_recovers():
@@ -445,3 +466,43 @@ def test_real_tiny_policy_through_server():
     )
     np.testing.assert_allclose(np.stack(rows), direct, rtol=1e-5, atol=1e-5)
     assert np.isfinite(direct).all()
+
+    # batch-composition invariance of a proprio-less row: per-row None maps
+    # to NORMALIZED zero — equal to the stats midpoint's raw value, and NOT
+    # to normalize(raw 0). Only visible under asymmetric proprio stats, in
+    # NORMALIZED (pre-clip) space, and with the eps head randomized: fresh
+    # weights carry the reference's ZERO-init final_layer (prismatic.py:320),
+    # so eps==0 and the sampler output would be proprio-independent (the same
+    # vacuousness the golden drivers guard against).
+    import jax.numpy as jnp
+
+    params2 = dict(params)
+    fl = {k: dict(v) if isinstance(v, dict) else v
+          for k, v in params["final_layer"].items()}
+    fl["mlp"] = dict(fl["mlp"])
+    fl["mlp"]["fc2"] = dict(fl["mlp"]["fc2"])
+    fl["mlp"]["fc2"]["w"] = 1e-2 * jax.random.normal(
+        jax.random.PRNGKey(7), params["final_layer"]["mlp"]["fc2"]["w"].shape,
+        jnp.float32,
+    )
+    params2["final_layer"] = fl
+    stats["t2"] = {
+        "action": {"q01": [-1.0] * cfg.action_dim, "q99": [1.0] * cfg.action_dim},
+        "proprio": {"q01": [0.0] * cfg.action_dim, "q99": [1.0] * cfg.action_dim},
+    }
+    policy2 = MLAPolicy(params2, state, cfg, tokenizer=SimpleTokenizer(),
+                        norm_stats=stats)
+    imgs = np.stack([obs[0][0], obs[1][0]])
+    pcs = np.stack([obs[0][1], obs[1][1]])
+    kw = dict(input_ids=np.concatenate([ids, ids], axis=0), unnorm_key="t2",
+              seed=5, sampler="dpm", num_dpm_steps=2, return_normalized=True)
+    mixed = policy2.predict_action_diff_batched(
+        imgs, pcs, cur_robot_states=[None, proprios[1]], **kw)
+    midpoint = policy2.predict_action_diff_batched(
+        imgs, pcs, cur_robot_states=[np.full(cfg.action_dim, 0.5, np.float32),
+                                     proprios[1]], **kw)
+    raw_zero = policy2.predict_action_diff_batched(
+        imgs, pcs, cur_robot_states=[np.zeros(cfg.action_dim, np.float32),
+                                     proprios[1]], **kw)
+    np.testing.assert_allclose(mixed[0], midpoint[0], rtol=1e-5, atol=1e-5)
+    assert not np.allclose(mixed[0], raw_zero[0], atol=1e-4)

@@ -298,3 +298,30 @@ def test_percent_splits_partition_even_with_file_shuffling(tmp_path):
     assert len(train) == 5 and len(val) == 1
     assert set(train) | set(val) == set(everything)
     assert not (set(train) & set(val))
+
+
+def test_shuffle_files_reorders_between_calls(tmp_path):
+    """shuffle_files must actually vary the file-level read order across
+    calls (real tfds shuffles nondeterministically) — including on percent
+    sub-splits — while never changing the episode SET. A fixed or dropped
+    shuffle would feed the same correlated episode order every epoch."""
+    write_rlbench_fixture(tmp_path, n_episodes=12, lens=(4,), num_shards=6)
+    b = tfds_compat.builder("rlbench", tmp_path)
+
+    def order(split, shuffle):
+        out = []
+        for ep in b.as_dataset(split=split, shuffle_files=shuffle):
+            steps = list(ep["steps"])
+            out.append(tuple(np.asarray(steps[0]["action"]).round(5).tolist()))
+        return out
+
+    canonical = order("train", False)
+    draws = [tuple(order("train", True)) for _ in range(6)]
+    assert all(set(d) == set(canonical) for d in draws)
+    # 6 shards -> 720 possible orders; 6 draws all identical is ~1e-17
+    assert len(set(draws)) > 1, "full-split file shuffle is a no-op"
+
+    sub_canonical = order("train[:50%]", False)
+    sub_draws = [tuple(order("train[:50%]", True)) for _ in range(6)]
+    assert all(set(d) == set(sub_canonical) for d in sub_draws)
+    assert len(set(sub_draws)) > 1, "sub-split file shuffle is a no-op"
