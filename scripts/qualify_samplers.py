@@ -157,6 +157,7 @@ def main(argv=None):
     candidates = [
         ("ddim8", dict(num_ddim_steps=8)),
         ("ddim4", dict(num_ddim_steps=4)),              # DDIM at DPM-4's cost
+        ("dpm2", dict(sampler="dpm", num_dpm_steps=2)),  # floor probe
         ("dpm3", dict(sampler="dpm", num_dpm_steps=3)),  # below-DPM-4 probe
         ("dpm4", dict(sampler="dpm", num_dpm_steps=4)),
         ("dpm6", dict(sampler="dpm", num_dpm_steps=6)),

@@ -148,9 +148,15 @@ def test_dpm4_fidelity_on_real_trained_model():
     ref = policy.predict_action_diff(img, pc, num_ddim_steps=100, **common)
     d8 = policy.predict_action_diff(img, pc, num_ddim_steps=8, **common)
     dpm4 = policy.predict_action_diff(img, pc, sampler="dpm", num_dpm_steps=4, **common)
+    # the 2-eval edge (Euler step + final x0 projection) — a measured
+    # aggressive mode (docs/kernels.md table); pinning it here also guards
+    # the solver's first-order bootstrap path
+    dpm2 = policy.predict_action_diff(img, pc, sampler="dpm", num_dpm_steps=2, **common)
 
     def rms(a):
         return float(np.sqrt(np.mean((a[:, :-1] - ref[:, :-1]) ** 2)))
 
     assert np.isfinite(dpm4).all() and np.isfinite(d8).all()
     assert rms(dpm4) <= rms(d8) * 1.05, (rms(dpm4), rms(d8))
+    assert np.isfinite(dpm2).all()
+    assert rms(dpm2) <= rms(d8) * 1.05, (rms(dpm2), rms(d8))
