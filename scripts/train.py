@@ -22,6 +22,7 @@ import argparse
 import dataclasses
 import json
 import os
+import signal
 import sys
 import time
 from pathlib import Path
@@ -248,6 +249,24 @@ def main(argv=None):
         flops_per_token=6.0 * n_params, peak_flops=peak_flops,
     )
 
+    # --- preemption-safe checkpointing (beyond the reference's crash-and-
+    # restart model, SURVEY §5): TPU-pod preemptions deliver SIGTERM with a
+    # grace window. The handler only sets a flag — saving from inside a
+    # signal frame would capture in-flight device state — and the loop
+    # drains it at the next step boundary with ONE synchronous checkpoint,
+    # then exits cleanly for `--is_resume true` to continue from.
+    preempt = {"hit": False}
+
+    def _on_preempt(signum, frame):
+        preempt["hit"] = True
+        overwatch.info(
+            f"signal {signum}: preemption checkpoint at the next step boundary"
+        )
+
+    prev_handlers = {
+        s: signal.signal(s, _on_preempt) for s in (signal.SIGTERM, signal.SIGUSR1)
+    }
+
     # --- loop (reference run_vla_training, base_strategy_mla.py:251-404) ---
     data_iter = iter(dataset)
     steps_per_epoch = max(tc.shuffle_buffer_size // tc.global_batch_size, 1)
@@ -278,12 +297,22 @@ def main(argv=None):
         )
         if step % 10 == 0 or step == num_steps - 1:
             overwatch.info(metrics.push())
-        if (step + 1) % tc.save_interval == 0 or step == num_steps - 1:
+        saved_this_step = (step + 1) % tc.save_interval == 0 or step == num_steps - 1
+        if saved_this_step:
             loss = float(step_metrics["total_loss"])
             ckpt_mod.save_checkpoint(
                 run_dir, state, step=step + 1, epoch=0, loss=loss, model_cfg=cfg,
                 async_save=tc.async_checkpoints,
             )
+        if preempt["hit"]:
+            if not saved_this_step:
+                ckpt_mod.save_checkpoint(
+                    run_dir, state, step=step + 1, epoch=0,
+                    loss=float(step_metrics["total_loss"]), model_cfg=cfg,
+                    async_save=False,
+                )
+            overwatch.info(f"preempted: checkpoint saved at step {step + 1}, exiting")
+            break
         if (
             tc.visualize_interval
             and cfg.use_generation
@@ -302,6 +331,8 @@ def main(argv=None):
                 step=step + 1,
                 image_patch_size=cfg.gen.image.image_patch_size,
             )
+    for s, h in prev_handlers.items():
+        signal.signal(s, h)
     ckpt_mod.wait_for_async_saves()
     metrics.finalize()
     overwatch.info("done")

@@ -127,6 +127,69 @@ def test_vla_metrics_jsonl(tmp_path):
     assert (tmp_path / "run-metrics.jsonl").exists()
 
 
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """Preemption-safe training (beyond the reference's crash-and-restart):
+    SIGTERM mid-run makes the loop save ONE checkpoint at the next step
+    boundary and exit cleanly; --is_resume continues from it. TPU-pod
+    preemptions deliver exactly this signal with a grace window."""
+    import signal
+    import subprocess
+    import sys as _sys
+    import time as _time
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    args = [
+        _sys.executable, str(repo / "scripts" / "train.py"),
+        "--vla.type", "mla-tiny-debug",
+        "--run_id", "preempt-e2e",
+        "--max_steps", "50",            # far more than will run
+        "--save_interval", "1000",      # no cadence saves before the signal
+        "--per_device_batch_size", "1",
+        "--global_batch_size", "8",
+        "--run_root_dir", str(tmp_path),
+        "--use_contrastive", "false",
+    ]
+    run_dir = tmp_path / "preempt-e2e"
+    proc = subprocess.Popen(args, cwd=repo, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    try:
+        # wait until the first metrics push proves a step completed
+        deadline = _time.time() + 600
+        jsonl = run_dir / "preempt-e2e.jsonl"
+        while _time.time() < deadline:
+            if jsonl.exists() and jsonl.read_text().strip():
+                break
+            if proc.poll() is not None:
+                raise AssertionError(f"trainer died early:\n{proc.stdout.read()}")
+            _time.sleep(2)
+        else:
+            raise AssertionError("no training step completed within 10 min")
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=300)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out
+    assert "preempted: checkpoint saved" in out, out
+
+    ckpts = sorted((run_dir / "checkpoints").glob("step-*"))
+    assert ckpts, out
+    saved_step = max(int(c.name.split("-")[1]) for c in ckpts)
+    assert 1 <= saved_step < 50
+
+    # resume one more step from the preemption checkpoint
+    _sys.path.insert(0, str(repo / "scripts"))
+    import importlib
+
+    train_mod = importlib.import_module("train")
+    train_mod.main([a for a in args[2:]] + [
+        "--max_steps", str(saved_step + 1), "--is_resume", "true",
+    ])
+    after = {c.name for c in (run_dir / "checkpoints").glob("step-*")}
+    assert any(n.startswith(f"step-{saved_step + 1:06d}") for n in after), after
+
+
 def test_vla_metrics_throughput(tmp_path):
     import json
 
