@@ -52,7 +52,11 @@ def space_timesteps(num_timesteps: int, section_counts) -> set:
         if section_counts.startswith("ddim"):
             desired_count = int(section_counts[len("ddim"):])
             if desired_count == 1:
-                return {50}
+                # the reference hardcodes {50} (respace.py:34-35) — an IDDPM
+                # quirk that assumes the 100-step training schedule. Keep
+                # bit-parity there; for shorter schedules {50} would be out
+                # of range, so anchor the single step at the midpoint.
+                return {50} if num_timesteps > 50 else {num_timesteps // 2}
             for i in range(1, num_timesteps):
                 if len(range(0, num_timesteps, i)) == desired_count:
                     return set(range(0, num_timesteps, i))

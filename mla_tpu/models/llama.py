@@ -411,7 +411,13 @@ def lm_head_logits(params: Dict[str, Any], hidden: jnp.ndarray) -> jnp.ndarray:
     head = params["lm_head"]
     hf = hidden.astype(jnp.float32)
     if "w_q4" in head:
-        return nn.linear(head, hf)
+        # int4 is a memory mode (docs/kernels.md): dequantize the head and
+        # keep the dot in fp32 — int4_linear's W8A8 activation quantization
+        # would break the fp32-logits contract on exactly the output that
+        # AR decoding and the logit-margin goldens pin
+        from mla_tpu.ops.quantization import dequantize_weight_int4
+
+        return hf @ dequantize_weight_int4(head, jnp.float32)
     if "w_q" in head:
         # scale after the dot (see nn.linear) so the int8 read fuses
         return (hf @ head["w_q"].astype(jnp.float32)) * head["w_scale"][0].astype(jnp.float32)

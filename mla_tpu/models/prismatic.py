@@ -79,6 +79,16 @@ class MLAModelConfig:
     point_token_dim: int = 768
     num_extra_views: int = 0  # wrist cameras etc., 256 tokens each
 
+    def __post_init__(self):
+        if self.use_tactile and not self.use_pointcloud:
+            # tactile positives are nearest-PC-token indices (reference
+            # prismatic.py:740-750) — there is no tactile path without the
+            # point tokenizer's centers
+            raise ValueError(
+                "use_tactile=True requires use_pointcloud=True: tactile "
+                "contrastive positives are nearest point-cloud tokens"
+            )
+
     @property
     def token_size(self) -> int:
         return self.llama.hidden_size
@@ -232,14 +242,17 @@ def get_fused_tokens(
         tac_flat = tactile.reshape(B, n, cfg.tactile_dim)
         tac_emb = embedders.action_embedder(params["tactile_embedder"], tac_flat)  # [B,n,D]
         parts.append(tac_emb)
-        # nearest PC token per gripper (prismatic.py:740-750)
-        grip = gripper_xyz.reshape(B, n, 3)
-        d = pointops.square_distance(grip, centers)  # [B,n,256]
-        positive_pc_idx = jnp.argmin(d, axis=-1)[..., None]  # [B,n,1]
-        patch_w = cfg.vision.out_grid
-        # (row, col) of each positive point's image patch: [B, n, 2]
-        pi = jax.vmap(lambda p_ind, pos: p_ind[pos[:, 0]])(patch_indices, positive_pc_idx)
-        positive_img_idx = (pi[..., 0] * patch_w + pi[..., 1])[..., None]  # [B,n,1]
+        if centers is not None and gripper_xyz is not None:
+            # nearest PC token per gripper (prismatic.py:740-750); positives
+            # exist only when the batch carries gripper poses (training-time
+            # contrastive supervision — inference batches omit them)
+            grip = gripper_xyz.reshape(B, n, 3)
+            d = pointops.square_distance(grip, centers)  # [B,n,256]
+            positive_pc_idx = jnp.argmin(d, axis=-1)[..., None]  # [B,n,1]
+            patch_w = cfg.vision.out_grid
+            # (row, col) of each positive point's image patch: [B, n, 2]
+            pi = jax.vmap(lambda p_ind, pos: p_ind[pos[:, 0]])(patch_indices, positive_pc_idx)
+            positive_img_idx = (pi[..., 0] * patch_w + pi[..., 1])[..., None]  # [B,n,1]
     else:
         parts.append(jnp.zeros((B, 1, D), img_tokens.dtype))
 
@@ -361,17 +374,21 @@ def vlm_forward(
     text_emb = decoder.embed_tokens(params["llm_backbone"], input_ids)
 
     # CFG condition dropout applies to the conditioning (text+fused) segments
-    # (reference applies z_embedder to the spliced z, :956-957)
+    # (reference applies z_embedder to the spliced z, :956-957). Both
+    # segments share ONE per-sample drop mask: label_embedder draws it from
+    # the same key on both calls.
     if use_diff and cfg.class_dropout_prob > 0 and training:
-        drop_key = rngs.get("zdrop")
-        drop = jax.random.uniform(drop_key, (B,)) < cfg.class_dropout_prob
-        uncond = params["z_embedder"]["uncondition"].astype(text_emb.dtype)
-        text_emb = jnp.where(drop[:, None, None], uncond[None], text_emb)
-        fused = jnp.where(drop[:, None, None], uncond[None], fused)
+        drop_kw = dict(
+            dropout_prob=cfg.class_dropout_prob, training=True,
+            key=rngs.get("zdrop"),
+        )
     elif use_diff and batch.get("force_uncondition", False):
-        uncond = params["z_embedder"]["uncondition"].astype(text_emb.dtype)
-        text_emb = jnp.broadcast_to(uncond[None], text_emb.shape)
-        fused = jnp.broadcast_to(uncond[None], fused.shape)
+        drop_kw = dict(force_drop_ids=jnp.ones((B,), jnp.int32))
+    else:
+        drop_kw = None
+    if drop_kw is not None:
+        text_emb = embedders.label_embedder(params["z_embedder"], text_emb, **drop_kw)
+        fused = embedders.label_embedder(params["z_embedder"], fused, **drop_kw)
 
     if use_diff:
         proprio = embedders.action_embedder(
@@ -475,10 +492,14 @@ def vlm_forward(
 
     # --- diffusion noise prediction ----------------------------------------
     if use_diff:
-        final = embedders.final_layer(params["final_layer"], llm_out["last_hidden"])
-        # x tokens sit at positions [F + splice + 2, F + splice + 2 + horizon)
+        # x tokens sit at positions [F + splice + 2, F + splice + 2 + horizon).
+        # Gather the 16 x-token hiddens BEFORE final_layer — it is
+        # position-wise, so this is numerically identical to projecting all
+        # S~575 positions and gathering after, but skips ~35x of the
+        # D->D->action_dim MLP compute and its [B,S,D] backprop activation
         base = F + splice_idx + 2  # [B]
         pos = base[:, None] + jnp.arange(cfg.action_horizon)[None, :]  # [B,16]
-        outputs["noise_pred"] = jnp.take_along_axis(final, pos[..., None], axis=1)
+        x_hidden = jnp.take_along_axis(llm_out["last_hidden"], pos[..., None], axis=1)
+        outputs["noise_pred"] = embedders.final_layer(params["final_layer"], x_hidden)
 
     return outputs, new_state

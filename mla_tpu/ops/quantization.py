@@ -292,6 +292,8 @@ def int8_matmul(
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
     bn = min(block_n, N)
+    while N % bn:  # grid = N // bn must COVER N, or trailing cols stay unwritten
+        bn //= 2
 
     out = _pl.pallas_call(
         _int8_mm_kernel,

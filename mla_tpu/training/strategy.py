@@ -71,12 +71,15 @@ def make_train_step(
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
-    With `mesh`, the returned function is jitted with FSDP param shardings
-    and (dp, fsdp) batch sharding; XLA generates the collectives.
-    `grad_accumulation_steps > 1` expects the batch leading dim to be
-    divisible by it; micro-batches run under lax.scan with grads averaged
-    before one optimizer step (loss semantics identical to the reference's
-    loss/grad_accum backward loop)."""
+    Sharding is carried by the INPUTS, not by this function: place the
+    state with `shard_train_state(state, mesh)` and the batch with
+    `parallel.shard_batch(batch, mesh)` — jit propagates those placements
+    and XLA generates the collectives (`mesh` is accepted only as
+    documentation of that contract; passing it does not shard anything by
+    itself). `grad_accumulation_steps > 1` expects the batch leading dim to
+    be divisible by it; micro-batches run under lax.scan with grads
+    averaged before one optimizer step (loss semantics identical to the
+    reference's loss/grad_accum backward loop)."""
     accum = train_cfg.grad_accumulation_steps
 
     def loss_fn(params, model_state, batch, rng):
@@ -159,24 +162,46 @@ def shard_train_state(state: Dict[str, Any], mesh: Mesh, use_tp: bool = False) -
     p_shardings = shard_mod.param_shardings(state["params"], mesh, use_tp)
     rep = shard_mod.replicate(mesh)
 
+    def _names(path):
+        return tuple(
+            str(getattr(k, "key", getattr(k, "name", getattr(k, "idx", k))))
+            for k in path
+        )
+
+    # opt_state's adam mu/nu (and ema) mirror the params pytree, so an
+    # opt-state leaf's key-path ENDS with some param's full key-path (e.g.
+    # (..., 'mu', 'llm_backbone', 'layers', 'attn', 'q', 'w')). Match on that
+    # suffix + shape/dtype — matching on (shape, dtype) alone mis-shards
+    # same-shaped params with different specs (TP: q.w out-dim-sharded vs
+    # o.w in-dim-sharded), which forces a second train-step compile and
+    # per-leaf resharding on the first step.
+    p_entries = [
+        (_names(path), leaf.shape, sh)
+        for (path, leaf), sh in zip(
+            jax.tree_util.tree_flatten_with_path(state["params"])[0],
+            jax.tree_util.tree_leaves(p_shardings),
+        )
+    ]
+
     def put_like_params(tree):
-        # opt_state / ema mirror param structure where leaves match shapes
-        def put(x):
-            return jax.device_put(x, rep)
-
-        flat_p, _ = jax.tree_util.tree_flatten(state["params"])
-        shape_to_sh = {}
-        for leaf, sh in zip(flat_p, jax.tree_util.tree_leaves(p_shardings)):
-            shape_to_sh.setdefault((leaf.shape, str(leaf.dtype)), sh)
-
-        def put_leaf(x):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        out = []
+        for path, x in flat:
+            names = _names(path)
+            sh = rep
             if hasattr(x, "shape"):
-                sh = shape_to_sh.get((x.shape, str(x.dtype)))
-                if sh is not None:
-                    return jax.device_put(x, sh)
-            return jax.device_put(x, rep)
-
-        return jax.tree_util.tree_map(put_leaf, tree)
+                # dtype intentionally not compared: a sharding constrains
+                # only the shape, and opt states may keep a wider dtype
+                for pnames, pshape, psh in p_entries:
+                    if (
+                        len(names) >= len(pnames)
+                        and names[-len(pnames):] == pnames
+                        and x.shape == pshape
+                    ):
+                        sh = psh
+                        break
+            out.append(jax.device_put(x, sh))
+        return jax.tree_util.tree_unflatten(treedef, out)
 
     out = {
         "params": jax.tree_util.tree_map(jax.device_put, state["params"], p_shardings),
