@@ -60,14 +60,15 @@ def decoder_layer_init(key, d_model: int, ffn_dim: int) -> Dict[str, Any]:
 
 
 def decoder_layer(p, tgt, memory, num_heads: int, dropout: float = 0.1, key=None):
-    k1, k2, k3 = (jax.random.split(key, 3) if key is not None else (None, None, None))
+    k1, k2, k3, k4 = (jax.random.split(key, 4) if key is not None else (None,) * 4)
     x = tgt
     x = nn.layer_norm(p["norm1"], x + _dropout(nn.mha(p["self_attn"], x, num_heads), dropout, k1))
     x = nn.layer_norm(
         p["norm2"], x + _dropout(nn.mha(p["cross_attn"], x, num_heads, kv=memory), dropout, k2)
     )
+    # torch TransformerDecoderLayer: norm3(x + dropout3(linear2(dropout(act(linear1(x))))))
     ff = nn.linear(p["linear2"], _dropout(nn.gelu_exact(nn.linear(p["linear1"], x)), dropout, k3))
-    return nn.layer_norm(p["norm3"], x + ff)
+    return nn.layer_norm(p["norm3"], x + _dropout(ff, dropout, k4))
 
 
 def transformer_decoder_init(key, num_layers: int, d_model: int, ffn_dim: int):

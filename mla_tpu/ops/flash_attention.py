@@ -51,7 +51,11 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block
     l0 = jnp.zeros((block_q,), jnp.float32)
     acc0 = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
 
-    num_kblocks = (qi + 1) * block_q // block_k if causal else nk
+    # CEIL-div: the diagonal key block may only partially overlap this query
+    # block (block_q < block_k, or block_k not dividing the q extent) — a
+    # floor here would skip it entirely and silently zero the output rows;
+    # the element-wise causal mask below handles the overhang
+    num_kblocks = -((qi + 1) * block_q // -block_k) if causal else nk
 
     def body(ki, carry):
         m, l, acc = carry
@@ -95,7 +99,9 @@ def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq
     S = k_ref.shape[1]
     nk = S // block_k
     q_offset = qi * block_q
-    num_kblocks = (qi + 1) * block_q // block_k if causal else nk
+    # ceil-div — see _fwd_kernel: a floor would skip a partially-overlapping
+    # diagonal key block
+    num_kblocks = -((qi + 1) * block_q // -block_k) if causal else nk
 
     def body(ki, dq):
         k = k_ref[0, pl.ds(ki * block_k, block_k), :]
@@ -279,7 +285,10 @@ def flash_attention(
             mask = mask[:, -1, :]
         key_mask = mask.astype(jnp.int32)
 
-    Sp = _pad_len(S, max(block_q, block_k))
+    # pad to a common multiple of BOTH block sizes: nk = Sp//block_k must
+    # cover every key (padding to max(bq, bk) loses keys when the larger
+    # block is not a multiple of the smaller)
+    Sp = _pad_len(S, math.lcm(block_q, block_k))
     if Sp != S:
         pad = Sp - S
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))

@@ -138,7 +138,12 @@ def three_nn_interpolate(
     src/interpolate). unknown [B,N,3], known [B,M,3], feats [B,M,C] -> [B,N,C]."""
     d = square_distance(unknown_xyz, known_xyz)  # [B,N,M]
     neg_d3, idx3 = jax.lax.top_k(-d, 3)
-    w = 1.0 / (-neg_d3 + eps)  # [B,N,3]
+    # square_distance's |a|^2+|b|^2-2ab form can return tiny NEGATIVE values
+    # for (near-)coincident points under fp32 cancellation — common here,
+    # since known_xyz is usually an FPS subset of unknown_xyz. A negative d
+    # would flip the weight's sign (the CUDA reference's sum-of-squares
+    # distance is always >= 0), so clamp before inverting.
+    w = 1.0 / (jnp.maximum(-neg_d3, 0.0) + eps)  # [B,N,3]
     w = w / jnp.sum(w, axis=-1, keepdims=True)
     gathered = index_points(known_feats, idx3)  # [B,N,3,C]
     return jnp.sum(gathered * w[..., None].astype(gathered.dtype), axis=-2)

@@ -181,7 +181,19 @@ class PaddedCollatorForActionPrediction:
         attn = np.zeros((B, L), bool)
         splice = np.zeros((B,), np.int32)
         for i, inst in enumerate(instances):
-            seq = inst["input_ids"][:L]
+            if len(inst["input_ids"]) > L:
+                # NEVER truncate silently: cutting the prompt drops the
+                # supervised action tokens and the EOS splice anchor, so the
+                # sample would train against IGNORE-only labels and a garbage
+                # splice position (the reference pads to the batch max under
+                # a 2048 model_max_length and hits no such limit)
+                raise ValueError(
+                    f"prompt of {len(inst['input_ids'])} tokens exceeds "
+                    f"max_prompt_len={L}; raise PaddedCollatorForActionPrediction"
+                    f".max_prompt_len (and the serving graph's prompt bucket) "
+                    f"or shorten the instruction"
+                )
+            seq = inst["input_ids"]
             n = len(seq)
             ids[i, :n] = seq
             labels[i, :n] = inst["labels"][:n]

@@ -203,10 +203,13 @@ def make_dataset_from_rlds(
         return ds.map(flatten_episode, num_parallel_calls=n_calls)
 
     if dataset_statistics is None:
-        # full pass over ALL data (reference uses split="all"), hash-cached
-        # on builder info + state keys + the transform's source
+        # full pass over ALL splits (reference dataset.py:239 uses
+        # split="all" — train-only stats would shift q01/q99 vs reference
+        # checkpoints when a val split exists), hash-cached on builder info
+        # + split + state keys + the transform's source
+        stats_split = "all"
         stats_ds = episodes_to_trajs(
-            builder.as_dataset(split="train", shuffle_files=False,
+            builder.as_dataset(split=stats_split, shuffle_files=False,
                                decoders=skip_decoding)
         )
         dataset_statistics = T.get_dataset_statistics(
@@ -214,6 +217,7 @@ def make_dataset_from_rlds(
             cache_dir=Path(stats_cache_dir).expanduser(),
             hash_dependencies=(
                 str(builder.info),
+                stats_split,
                 str(list(state_obs_keys)),
                 inspect.getsource(standardize_fn) if standardize_fn is not None else "",
             ),
@@ -235,13 +239,23 @@ def make_dataset_from_rlds(
     if load_all_data_for_training and train:
         split = "train"
 
-    ds = builder.as_dataset(split=split, shuffle_files=shuffle and train,
-                            decoders=skip_decoding)
+    multihost = False
     if shard_by_host:
         import jax
 
-        if jax.process_count() > 1:
-            ds = ds.shard(jax.process_count(), jax.process_index())
+        multihost = jax.process_count() > 1
+    # multi-host shards are carved from the CANONICAL (unshuffled) file
+    # order: an unseeded per-host file shuffle would make shard(P, i) take
+    # every P-th element of P DIFFERENT permutations — overlapping shards
+    # and silently dropped episodes. Episode mixing then comes from the
+    # interleave + frame-level shuffle buffer downstream.
+    ds = builder.as_dataset(split=split,
+                            shuffle_files=shuffle and train and not multihost,
+                            decoders=skip_decoding)
+    if multihost:
+        import jax
+
+        ds = ds.shard(jax.process_count(), jax.process_index())
 
     ds = episodes_to_trajs(ds)
     ds = ds.map(
@@ -365,18 +379,18 @@ def apply_frame_transforms(
             return aug_kwargs
         return aug_kwargs.get(key)
 
-    def fn(frame):
-        obs = dict(frame["observation"])
-        seed = tf.random.uniform([2], 0, 2**31 - 1, dtype=tf.int32)
-        pad_masks = obs.get("pad_mask_dict", {})
-        for i, k in enumerate(sorted(obs)):
+    def _transform_image_dict(d, seed):
+        """Decode/resize/augment every image_* key of one dict. Observation
+        images carry a [window] (or [T, window]) leading dim; task/goal
+        images (goal relabeling mirrors obs keys into frame['task']) are
+        single [H, W, C] / scalar encoded strings — the flatten handles all
+        of them."""
+        pad_masks = d.get("pad_mask_dict", {})
+        for i, k in enumerate(sorted(d)):
             if not k.startswith("image_"):
                 continue
             size = _size_for(k[len("image_"):])
-            raw = obs[k]
-            # frames carry [window]-leading images; TRAJECTORY-level use
-            # (EpisodicRLDSDataset, no flattening) carries [T, window] —
-            # decode/resize over the flattened leading dims either way.
+            raw = d[k]
             # encoded strings are all-leading-dims; decoded uint8 arrays
             # keep their [H, W, C] tail
             n_lead = raw.shape.ndims if raw.dtype == tf.string else raw.shape.ndims - 3
@@ -389,21 +403,35 @@ def apply_frame_transforms(
                 fn_output_signature=tf.uint8,
             )
             img = tf.reshape(img, tf.concat([lead, [size[0], size[1], 3]], axis=0))
-            # augmentation operates on single [H,W,3] frames — only the
-            # flattened frame path (one leading dim) reaches it; the
-            # trajectory-level path (EpisodicRLDSDataset) is eval-only
-            kw = _kwargs_for(k[len("image_"):]) if train and n_lead == 1 else None
+            # augmentation operates on single [H,W,3] frames — the flattened
+            # frame path (window dim, n_lead==1) and goal images (n_lead==0)
+            # reach it; the trajectory-level path (EpisodicRLDSDataset,
+            # n_lead==2) is eval-only. The shared per-frame seed (+ the same
+            # key index for the mirrored task keys) matches the reference's
+            # same-seed-for-all-images design (dataset.py:458-462).
+            kw = _kwargs_for(k[len("image_"):]) if train and n_lead <= 1 else None
             if kw:
-                img = tf.map_fn(
-                    lambda im: T.augment_image(im, seed + i, **kw), img,
-                    fn_output_signature=tf.uint8,
-                )
-                if k in pad_masks:
-                    # zero out augmented padding frames (window axis)
-                    mask = tf.reshape(tf.cast(pad_masks[k], img.dtype), [-1, 1, 1, 1])
-                    img = img * mask
-            obs[k] = img
-        frame["observation"] = obs
+                if n_lead == 0:
+                    img = T.augment_image(img, seed + i, **kw)
+                else:
+                    img = tf.map_fn(
+                        lambda im: T.augment_image(im, seed + i, **kw), img,
+                        fn_output_signature=tf.uint8,
+                    )
+                    if k in pad_masks:
+                        # zero out augmented padding frames (window axis)
+                        mask = tf.reshape(tf.cast(pad_masks[k], img.dtype), [-1, 1, 1, 1])
+                        img = img * mask
+            d[k] = img
+        return d
+
+    def fn(frame):
+        seed = tf.random.uniform([2], 0, 2**31 - 1, dtype=tf.int32)
+        frame["observation"] = _transform_image_dict(dict(frame["observation"]), seed)
+        if "task" in frame and isinstance(frame["task"], dict):
+            # reference apply_obs_transform runs the same fn over the task
+            # dict (goal images), dataset.py:443-446
+            frame["task"] = _transform_image_dict(dict(frame["task"]), seed)
         return frame
 
     return ds.map(fn, num_parallel_calls=n_calls)

@@ -256,6 +256,17 @@ class MiniRLDSBuilder:
         accepted for call-site compatibility and ignored."""
         del decoders, read_config
         tf = _tf()
+        if split == "all":
+            # tfds's special union-of-all-splits keyword (the reference reads
+            # it for dataset statistics, dataset.py:239)
+            parts = [
+                self.as_dataset(split=s, shuffle_files=shuffle_files)
+                for s in sorted(self.info.splits)
+            ]
+            ds = parts[0]
+            for p in parts[1:]:
+                ds = ds.concatenate(p)
+            return ds
         base, lo, hi = _parse_split(split)
         if base not in self.info.splits:
             raise ValueError(f"split {base!r} not in {list(self.info.splits)}")

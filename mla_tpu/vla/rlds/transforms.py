@@ -233,6 +233,11 @@ def chunk_act_obs(
         neutral_actions = tf.where(absolute_action_mask[:, None, :], traj["action"], expanded)
         past_goal = action_chunk_indices > goal_timestep[:, None]
         traj["action"] = tf.where(past_goal[:, :, None], neutral_actions, traj["action"])
+        # ... and BEFORE the trajectory start (reference :85-87): with
+        # window_size > 1 the first frames' pre-start chunk slots would
+        # otherwise repeat action[0] instead of the neutral action
+        before_start = action_chunk_indices < 0
+        traj["action"] = tf.where(before_start[:, :, None], neutral_actions, traj["action"])
     return traj
 
 
@@ -348,7 +353,9 @@ def augment_image(image, seed, **augment_kwargs):
             raise ValueError(f"Unknown augmentation op: {op}")
     image = tf.clip_by_value(image, 0, 1)
     if in_dtype == tf.uint8:
-        return tf.cast(image * 255.0, tf.uint8)
+        # scale-and-ROUND like dlimp's convert_image_dtype(saturate=True) —
+        # a truncating cast would darken every pixel by ~0.5 LSB on average
+        return tf.image.convert_image_dtype(image, tf.uint8, saturate=True)
     return tf.cast(image, in_dtype)
 
 

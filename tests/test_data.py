@@ -41,6 +41,33 @@ def test_chunk_act_obs_semantics():
     np.testing.assert_allclose(act[-1, 1:], np.full((2, 2), -1e-8), atol=1e-6)
     assert out["observation"]["pad_mask"].numpy().all()
 
+    # window_size > 1: PRE-START chunk slots also get the neutral action
+    # (reference traj_transforms.py:85-87), not a repeat of action[0]
+    out2 = T.chunk_act_obs(
+        {"action": tf.constant(np.arange(T0 * 2, dtype=np.float32).reshape(T0, 2)),
+         "observation": {"proprio": tf.constant(np.arange(T0, dtype=np.float32)[:, None])},
+         "task": {}},
+        window_size=3, future_action_window_size=1, dataset_statistics=stats,
+    )
+    act2 = out2["action"].numpy()  # [T, 4, 2]: chunk indices [-2,-1,0,1]
+    np.testing.assert_allclose(act2[0, :2], np.full((2, 2), -1e-8), atol=1e-6)
+    np.testing.assert_allclose(act2[0, 2, 0], 0.0)  # the real a0 stays
+    assert not out2["observation"]["pad_mask"].numpy()[0].all()
+
+
+def test_collator_rejects_overlong_prompt():
+    from mla_tpu.vla.datasets import PaddedCollatorForActionPrediction
+
+    col = PaddedCollatorForActionPrediction(max_prompt_len=8)
+    inst = {
+        "input_ids": np.arange(1, 12, dtype=np.int32),  # 11 > 8
+        "labels": np.arange(1, 12, dtype=np.int32),
+        "images": {}, "actions": np.zeros((16, 7), np.float32),
+        "proprio": np.zeros((1, 7), np.float32),
+    }
+    with pytest.raises(ValueError, match="exceeds"):
+        col([inst])
+
 
 def test_binarize_gripper():
     tf = pytest.importorskip("tensorflow")

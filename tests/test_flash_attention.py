@@ -41,6 +41,35 @@ def test_unpadded_sequence_padding_path():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("bq,bk", [(64, 128), (128, 64), (128, 96)])
+def test_asymmetric_blocks_match_reference(bq, bk):
+    """block_q != block_k exercises the partially-overlapping diagonal key
+    block (ceil-div coverage) and the lcm padding (nk must cover every key)
+    — a floor/max-pad bug here returns silent zeros, not an error."""
+    B, H, S, hd = 1, 2, 256, 64
+    q, k, v = _rand((B, H, S, hd), 20), _rand((B, H, S, hd), 21), _rand((B, H, S, hd), 22)
+    got = np.asarray(flash_attention(q, k, v, block_q=bq, block_k=bk))
+    want = np.asarray(attention.sdpa_reference(q, k, v, causal=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    mask = (jnp.arange(S) < 230)[None, :]
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, mask=mask, block_q=bq, block_k=bk)
+        return jnp.sum(jnp.where(mask[:, None, :, None], o, 0.0) ** 2)
+
+    def loss_ref(q, k, v):
+        o = attention.sdpa_reference(q, k, v, mask=mask[:, None, None, :], causal=True)
+        return jnp.sum(jnp.where(mask[:, None, :, None], o, 0.0) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3, err_msg=f"d{name}"
+        )
+
+
 def test_gradients_match_reference():
     B, H, S, hd = 1, 2, 256, 64
     q, k, v = _rand((B, H, S, hd), 9), _rand((B, H, S, hd), 10), _rand((B, H, S, hd), 11)
