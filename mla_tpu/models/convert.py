@@ -425,6 +425,16 @@ def load_hf_llama(model_dir, cfg) -> Dict[str, Any]:
     (models/load.py:52-140)."""
     from pathlib import Path
 
+    sd = merge_hf_shards(model_dir, bin_globs=("pytorch_model*.bin",))
+    return convert_llama(sd, cfg.llama.num_layers, prefix="", target_vocab=cfg.llama.vocab_size)
+
+
+def merge_hf_shards(model_dir, bin_globs=("*.bin", "*.pt")) -> Dict[str, Any]:
+    """Merge an HF-style sharded checkpoint directory into one flat state
+    dict: *.safetensors shards when present, else torch-pickled shards
+    matching `bin_globs` (shared by load_hf_llama and models.load.load_openvla)."""
+    from pathlib import Path
+
     model_dir = Path(model_dir)
     sd: Dict[str, Any] = {}
     st_files = sorted(model_dir.glob("*.safetensors"))
@@ -438,9 +448,10 @@ def load_hf_llama(model_dir, cfg) -> Dict[str, Any]:
     else:
         import torch
 
-        for f in sorted(model_dir.glob("pytorch_model*.bin")):
-            sd.update(torch.load(str(f), map_location="cpu", weights_only=False))
-    return convert_llama(sd, cfg.llama.num_layers, prefix="", target_vocab=cfg.llama.vocab_size)
+        for pat in bin_globs:
+            for f in sorted(model_dir.glob(pat)):
+                sd.update(torch.load(str(f), map_location="cpu", weights_only=False))
+    return sd
 
 
 # --------------------------------------------------------------------------- #
@@ -570,11 +581,17 @@ def export_reference_checkpoint(params: Dict[str, Any], state: Dict[str, Any], c
     if "contrastive" in params:
         llm.update(export_contrastive(params["contrastive"]))
     model["llm_backbone"] = llm
-    model["vision_tower_2d"] = export_vision_tokenizer(params["vision_tower_2d"], cfg.vision.patch_stride)
-    pj2 = {}
-    for i, lp in enumerate(params["projector_2d"]["layers"]):
-        _exp_lin(lp, f"mlp.{2 * i}", pj2)
-    model["projector_2d"] = pj2
+    # every module is guarded like the loader side (load_reference_checkpoint
+    # is permissive per-module) — LLM-only/ablation trees must export too
+    if "vision_tower_2d" in params:
+        model["vision_tower_2d"] = export_vision_tokenizer(
+            params["vision_tower_2d"], cfg.vision.patch_stride
+        )
+    if "projector_2d" in params:
+        pj2 = {}
+        for i, lp in enumerate(params["projector_2d"]["layers"]):
+            _exp_lin(lp, f"mlp.{2 * i}", pj2)
+        model["projector_2d"] = pj2
     if "vision_tower_3d" in params:
         model["vision_tower_3d"] = export_point_tokenizer(
             params["vision_tower_3d"], state["vision_tower_3d"], cfg.point.lga_blocks

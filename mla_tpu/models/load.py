@@ -114,14 +114,36 @@ def load_vla(
         overwatch.info(f"loading orbax checkpoint {ckpt_path}")
         from mla_tpu.training import checkpointing as ckpt_mod
 
+        # the checkpointed opt_state's STRUCTURE depends on the run's frozen
+        # modules (optax.masked stores leafless MaskedNodes there): rebuild
+        # the same stage/extra_frozen layout scripts/train.py used from the
+        # run's recorded train config — the default (unmasked) mask would
+        # make orbax reject every diffusion-mode checkpoint (lm_head
+        # frozen). The unmasked layout stays as a fallback for checkpoints
+        # produced outside the trainer.
+        from mla_tpu.training import optim, strategy
+
+        layouts = [_run_optimizer_layout(cfg_src, cfg)]
+        if layouts[0] != ("pretrain", ()):
+            layouts.append(("pretrain", ()))
+
+        def _try_full_restore(with_ema: bool):
+            err = None
+            for st, ef in layouts:
+                tx, _, _ = optim.make_optimizer(
+                    params, num_training_steps=1, stage=st, extra_frozen=ef
+                )
+                full = strategy.init_train_state(params, tx, state, use_ema=with_ema)
+                try:
+                    return ckpt_mod.load_checkpoint(ckpt_path, full)
+                except Exception as e:
+                    err = e
+            raise err
+
         if use_ema:
             # EMA weights only exist in full train-state checkpoints
-            from mla_tpu.training import optim, strategy
-
-            tx, _, _ = optim.make_optimizer(params, num_training_steps=1)
-            full = strategy.init_train_state(params, tx, state, use_ema=True)
             try:
-                full_restored = ckpt_mod.load_checkpoint(ckpt_path, full)
+                full_restored = _try_full_restore(with_ema=True)
             except Exception as e:
                 raise ValueError(
                     f"use_ema=True but {ckpt_path} holds no ema_params "
@@ -138,18 +160,10 @@ def load_vla(
             except Exception:
                 # full train-state checkpoints include optimizer state etc.
                 # (and --use_ema runs additionally carry ema_params)
-                from mla_tpu.training import optim, strategy
-
-                tx, _, _ = optim.make_optimizer(params, num_training_steps=1)
-                full_restored = None
-                for with_ema in (False, True):
-                    full = strategy.init_train_state(params, tx, state, use_ema=with_ema)
-                    try:
-                        full_restored = ckpt_mod.load_checkpoint(ckpt_path, full)
-                        break
-                    except Exception:
-                        if with_ema:
-                            raise
+                try:
+                    full_restored = _try_full_restore(with_ema=False)
+                except Exception:
+                    full_restored = _try_full_restore(with_ema=True)
                 restored = {
                     "params": full_restored["params"],
                     "model_state": full_restored["model_state"],
@@ -159,6 +173,23 @@ def load_vla(
     if load_for_training:
         return params, state, cfg, norm_stats
     return MLAPolicy(params, state, cfg, tokenizer=tokenizer, norm_stats=norm_stats)
+
+
+def _run_optimizer_layout(cfg_src, cfg) -> tuple:
+    """(stage, extra_frozen) exactly as scripts/train.py constructed them,
+    reconstructed from the run's recorded train config (conf/vla.py stage
+    inference + the diffusion-mode lm_head freeze)."""
+    src = cfg_src if isinstance(cfg_src, dict) else {}
+    if src.get("use_generation"):
+        stage = "post-training"
+    elif src.get("freeze_vision_tower"):
+        stage = "finetune"
+    else:
+        stage = "pretrain"
+    extra_frozen = ("llm_backbone",) if src.get("freeze_llm_backbone") else ()
+    if cfg.use_diff:
+        extra_frozen = extra_frozen + ("lm_head",)
+    return stage, extra_frozen
 
 
 def _resolve_checkpoint(path: Path) -> Optional[Path]:
@@ -204,20 +235,7 @@ def load_openvla(
     from mla_tpu.models.convert import _lin
 
     model_dir = Path(model_dir)
-    merged: Dict[str, Any] = {}
-    st_files = sorted(model_dir.glob("*.safetensors"))
-    if st_files:
-        from safetensors import safe_open
-
-        for f in st_files:
-            with safe_open(str(f), framework="np") as sf:
-                for k in sf.keys():
-                    merged[k] = sf.get_tensor(k)
-    else:
-        import torch
-
-        for f in sorted(model_dir.glob("*.bin")) + sorted(model_dir.glob("*.pt")):
-            merged.update(torch.load(str(f), map_location="cpu", weights_only=False))
+    merged = convert.merge_hf_shards(model_dir, bin_globs=("*.bin", "*.pt"))
 
     llm_sd = {k.replace("language_model.", ""): v for k, v in merged.items() if "language_model" in k}
     dino_sd = {

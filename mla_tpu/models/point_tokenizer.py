@@ -85,7 +85,13 @@ def _linear2_init(key, dim: int):
 
 def point_tokenizer_init(key, cfg: PointTokenizerConfig = PointTokenizerConfig()):
     """Returns (params, state)."""
-    keys = jax.random.split(key, 8)
+    # one key per LGA block + raw_embed + proj + cls_token. jax.random.split
+    # is prefix-stable, so sizing the split from the config fixes the
+    # fixed-8 overflow/collision for larger lga_blocks while keeping the
+    # default config's draws identical (proj/cls stay at indices 6/7 there).
+    n_blocks = sum(cfg.lga_blocks[: cfg.num_stages])
+    proj_idx = max(n_blocks + 1, 6)
+    keys = jax.random.split(key, proj_idx + 2)
     raw_p, raw_s = _conv_bn_init(keys[0], 3, cfg.embed_dim, bias=False)
     stages_p, stages_s = [], []
     kidx = 1
@@ -102,9 +108,9 @@ def point_tokenizer_init(key, cfg: PointTokenizerConfig = PointTokenizerConfig()
     params = {
         "raw_embed": raw_p,
         "stages": stages_p,
-        "proj": nn.linear_init(keys[6], cfg.encoder_out_dim, cfg.out_dim, w_init="xavier"),
+        "proj": nn.linear_init(keys[proj_idx], cfg.encoder_out_dim, cfg.out_dim, w_init="xavier"),
         # checkpoint-compat, unused in forward (pointvit.py:36-40)
-        "cls_token": nn.normal_init(keys[7], (1, 1, cfg.out_dim), 0.02),
+        "cls_token": nn.normal_init(keys[proj_idx + 1], (1, 1, cfg.out_dim), 0.02),
         "pos_embed": jnp.zeros((1, cfg.num_tokens + 1, cfg.out_dim)),
         "norm": nn.layer_norm_init(cfg.out_dim),
     }

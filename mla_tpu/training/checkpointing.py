@@ -131,15 +131,26 @@ def save_checkpoint(
     return path
 
 
+def _is_complete_ckpt(d: Path) -> bool:
+    # orbax writes to "<name>.orbax-checkpoint-tmp-*" and renames on
+    # finalize — a tmp suffix means in-flight/aborted, never a checkpoint
+    return d.is_dir() and d.name.startswith("step-") and "orbax-checkpoint-tmp" not in d.name
+
+
 def _gc_old_checkpoints(ckpt_dir: Path, keep: int) -> None:
     import shutil
 
     dirs = sorted(
-        [d for d in ckpt_dir.iterdir() if d.is_dir() and d.name.startswith("step-")],
+        [d for d in ckpt_dir.iterdir() if _is_complete_ckpt(d)],
         key=lambda d: d.name,
     )
     for d in dirs[:-keep] if keep > 0 else []:
         shutil.rmtree(d, ignore_errors=True)
+        # companion reference-format export (also_reference_format=True) —
+        # ~13 GB each at 7B; without this they accumulate until disk-full
+        pt = d.with_suffix(".pt")
+        if pt.exists():
+            pt.unlink()
 
 
 def load_checkpoint(path, abstract_state: Dict[str, Any]) -> Dict[str, Any]:
@@ -161,11 +172,17 @@ def load_checkpoint(path, abstract_state: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def latest_checkpoint(run_dir) -> Optional[Path]:
+    """Newest COMPLETE checkpoint. The `latest` marker is written as soon as
+    an async save is dispatched, so after a mid-write preemption (the exact
+    case resume exists for) it can name a directory orbax never finalized —
+    fall back to the newest finalized step-* dir then."""
     ckpt_dir = Path(run_dir) / "checkpoints"
     marker = ckpt_dir / "latest"
     if marker.exists():
-        return ckpt_dir / marker.read_text().strip()
-    dirs = sorted(d for d in ckpt_dir.glob("step-*") if d.is_dir())
+        named = ckpt_dir / marker.read_text().strip()
+        if _is_complete_ckpt(named):
+            return named
+    dirs = sorted(d for d in ckpt_dir.glob("step-*") if _is_complete_ckpt(d))
     return dirs[-1] if dirs else None
 
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from mla_tpu.utils.tree import label_with_path, map_with_path
+from mla_tpu.utils.tree import map_with_path
 
 # torch rule: ndim <= 1 or name ends in .bias -> no decay. Our functional
 # equivalents: 'b' leaves (biases), norm/bn 'scale'/'bias' leaves, 1-d
@@ -49,9 +49,14 @@ STAGE_FROZEN_MODULES = {
 def trainable_mask(params: Any, stage: str = "pretrain", extra_frozen: Sequence[str] = ()) -> Any:
     """True = trained. The z_embedder 'uncondition' zeros buffer is always
     frozen (a non-Parameter buffer in the reference, models.py:76)."""
-    frozen = set(STAGE_FROZEN_MODULES.get(stage, ())) | set(extra_frozen)
-
-    from mla_tpu.utils.tree import map_with_path
+    if stage not in STAGE_FROZEN_MODULES:
+        # a typo'd stage silently training everything would also change the
+        # masked opt_state layout vs correctly-spelled runs (resume breaks);
+        # the reference's freeze_backbones raises on unknown stages too
+        raise ValueError(
+            f"unknown stage {stage!r}; expected one of {sorted(STAGE_FROZEN_MODULES)}"
+        )
+    frozen = set(STAGE_FROZEN_MODULES[stage]) | set(extra_frozen)
 
     def decide(path: str, leaf) -> bool:
         # a frozen name matches any path segment ("lm_head" freezes
@@ -103,11 +108,7 @@ def make_optimizer(
     """Returns (tx, schedule_fn, mask_tree). Frozen leaves receive zero
     updates (and no decay), equivalent to requires_grad_=False + param
     groups in the reference."""
-    from mla_tpu.utils.tree import map_with_path
-
     schedule = make_lr_schedule(lr_scheduler_type, learning_rate, num_training_steps, warmup_ratio)
-    import jax
-
     train_mask = trainable_mask(params, stage, extra_frozen)
     # decay only trainable leaves: masked-out leaves are MaskedNode inside
     # optax.masked, and add_decayed_weights must not touch them

@@ -35,6 +35,51 @@ def test_orbax_roundtrip(tmp_path):
     assert int(restored["step"]) == 0
 
 
+def test_load_vla_restores_diffusion_masked_checkpoint(tmp_path):
+    """scripts/train.py freezes lm_head in diffusion mode, so the saved
+    optax.masked opt_state has MaskedNodes there — load_vla must rebuild the
+    SAME layout from the run's config or orbax rejects every diffusion-mode
+    full train-state checkpoint (the flagship training mode)."""
+    from mla_tpu.conf.vla import get_vla_config
+    from mla_tpu.models.load import load_vla
+
+    cfg = tiny_config()
+    params, mstate = tiny_model(cfg)
+    tx, _, _ = optim.make_optimizer(
+        params, num_training_steps=10, extra_frozen=("lm_head",)
+    )
+    state = strategy.init_train_state(params, tx, mstate)
+
+    run_dir = tmp_path / "run"
+    stats = {"rlbench": {"action": {"q01": [-1.0] * 7, "q99": [1.0] * 7},
+                         "proprio": {"q01": [-1.0] * 7, "q99": [1.0] * 7}}}
+    ckpt.write_run_metadata(run_dir, get_vla_config("mla-tiny-debug"), cfg, stats)
+    ckpt.save_checkpoint(run_dir, state, step=2, epoch=0, loss=0.3)
+
+    policy = load_vla(run_dir, model_id="mla-tiny")
+    got = np.asarray(policy.params["llm_backbone"]["embed"]["table"])
+    np.testing.assert_array_equal(got, np.asarray(params["llm_backbone"]["embed"]["table"]))
+
+
+def test_latest_marker_stale_after_preempted_async_save(tmp_path):
+    """The `latest` marker is written at async-save DISPATCH; after a
+    mid-write preemption it can name a dir orbax never finalized.
+    latest_checkpoint must fall back to the newest COMPLETE step dir and
+    ignore orbax tmp dirs."""
+    cfg = tiny_config()
+    params, mstate = tiny_model(cfg)
+    tx, _, _ = optim.make_optimizer(params, num_training_steps=10)
+    state = strategy.init_train_state(params, tx, mstate)
+    good = ckpt.save_checkpoint(tmp_path, state, step=1, epoch=0, loss=0.5)
+
+    ckpt_dir = tmp_path / "checkpoints"
+    # simulate the preempted follow-up save: marker points at a dir that was
+    # never finalized, only its orbax tmp dir exists
+    (ckpt_dir / "latest").write_text("step-000002-epoch-00-loss=0.4")
+    (ckpt_dir / "step-000002-epoch-00-loss=0.4.orbax-checkpoint-tmp-123").mkdir()
+    assert ckpt.latest_checkpoint(tmp_path) == good
+
+
 def test_checkpoint_gc(tmp_path):
     cfg = tiny_config()
     params, mstate = tiny_model(cfg)
