@@ -46,6 +46,10 @@ class VLATrainConfig:
     # MLA stage flags (reference scripts/train.py flag matrix + launch
     # scripts scripts/{pretrain,sft_*,post_*}.sh)
     use_diff: bool = True
+    # splice discretized AR action tokens into the prompt/labels (reference
+    # scripts/train.py:93 `action_tokenizer_exist`, default False: the
+    # reference's default RLDS training supervises the diffusion head only)
+    action_tokenizer_exist: bool = False
     use_pointcloud: bool = True
     use_tactile: bool = False
     use_contrastive: bool = True

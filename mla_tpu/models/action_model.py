@@ -72,15 +72,32 @@ def dit_init(key, cfg: DiTConfig) -> Dict[str, Any]:
         "pos_embed": nn.normal_init(ks[3], (cfg.seq_len, D), D**-0.5),
         "blocks": [_block_init(k, D, cfg.mlp_ratio) for k in jax.random.split(ks[4], cfg.depth)],
         "final_layer": embedders.final_layer_init(ks[5], D, cfg.in_channels),
-        "uncondition": jnp.zeros((1, cfg.token_size)),
+        # CFG training substitutes this for dropped conditions: normal-init
+        # when dropout is on (reference ActionModel initialize_weights
+        # :257-258), zeros otherwise (a plain buffer)
+        "uncondition": (
+            nn.normal_init(jax.random.fold_in(key, 7), (1, cfg.token_size), 0.02)
+            if cfg.class_dropout_prob > 0
+            else jnp.zeros((1, cfg.token_size))
+        ),
     }
     return params
 
 
-def dit_forward(params: Dict[str, Any], cfg: DiTConfig, x, t, z):
+def dit_forward(params: Dict[str, Any], cfg: DiTConfig, x, t, z, *,
+                training: bool = False, key=None):
     """x [B, T, in_ch] noised actions; t [B]; z [B, 1, token_size] condition.
-    Returns eps prediction [B, T, in_ch] (reference DiT.forward :269-286)."""
+    Returns eps prediction [B, T, in_ch] (reference DiT.forward :269-286).
+    During training with class_dropout_prob > 0 (and a PRNG key), whole
+    samples' conditions are replaced by the `uncondition` vector (reference
+    LabelEmbedder.token_drop, models.py:79-95) — CFG inference evaluates the
+    model on exactly that uncondition input, so it must be trained."""
     B = x.shape[0]
+    if training and cfg.class_dropout_prob > 0 and key is not None:
+        z = embedders.label_embedder(
+            {"uncondition": params["uncondition"]}, z,
+            dropout_prob=cfg.class_dropout_prob, training=True, key=key,
+        )
     xe = embedders.action_embedder(params["x_embedder"], x)  # [B,T,D]
     te = embedders.timestep_embedder(params["t_embedder"], t)  # [B,D]
     ze = nn.linear(params["z_proj"], z)  # [B,1,D]
@@ -107,10 +124,12 @@ def dit_forward_with_cfg(params: Dict[str, Any], cfg: DiTConfig, x, t, z, cfg_sc
 
 
 def dit_loss(params: Dict[str, Any], cfg: DiTConfig, sched: gd.Schedule, x, z, rng):
-    """Training loss (reference ActionModel.loss :98-113)."""
-    k1, k2 = jax.random.split(rng)
+    """Training loss (reference ActionModel.loss :98-113), including the
+    class_dropout_prob condition dropout that trains the uncondition branch
+    CFG inference relies on."""
+    k1, k2, k3 = jax.random.split(rng, 3)
     noise = jax.random.normal(k1, x.shape, jnp.float32)
     t = jax.random.randint(k2, (x.shape[0],), 0, sched.num_timesteps)
     x_t = gd.q_sample(sched, x.astype(jnp.float32), t, noise)
-    eps = dit_forward(params, cfg, x_t, t, z)
+    eps = dit_forward(params, cfg, x_t, t, z, training=True, key=k3)
     return jnp.mean((eps - noise) ** 2)

@@ -27,17 +27,21 @@ def get_vla_dataset_and_collator(
     model_cfg,
     per_host_batch_size: int,
     shuffle_buffer_size: int = 10_000,
-    use_diff: bool = True,
+    action_tokenizer_exist: bool = False,
     base_tokenizer=None,
     max_prompt_len: int = 192,
     augment: bool = False,
     seed: int = 0,
-) -> Tuple[Any, Optional[Any], Dict]:
-    """Returns (frame_iterable, collator_or_None, dataset_statistics).
+) -> Tuple[Any, Optional[Any], Dict, Optional[int]]:
+    """Returns (frame_iterable, collator_or_None, dataset_statistics,
+    dataset_len_or_None) — dataset_len is the effective interleaved-mixture
+    transition count (None for the synthetic DummyDataset), so the trainer
+    can derive real steps-per-epoch instead of a shuffle-buffer heuristic.
 
-    With diffusion-only supervision the action tokenizer is omitted from the
-    prompt (reference materialize.py `action_tokenizer_exist` toggle) —
-    both heads supervised is the default (AR tokens + diffusion)."""
+    action_tokenizer_exist mirrors the reference materialize.py toggle
+    (:37-46, wired from scripts/train.py:93, default False): when False the
+    discretized AR action tokens are omitted from prompt and labels —
+    diffusion-only supervision, the reference's default RLDS training mix."""
     if data_root_dir is None:
         overwatch.info(f"data: DummyDataset (no data_root_dir) mix={data_mix}")
         stats = {
@@ -47,12 +51,16 @@ def get_vla_dataset_and_collator(
             }
         }
         ds = DummyDataset(model_cfg, batch_size=per_host_batch_size, seed=seed)
-        return ds, None, stats
+        return ds, None, stats, None
 
     from mla_tpu.vla.rlds.dataset import make_interleaved_dataset
 
     base_tokenizer = base_tokenizer or SimpleTokenizer()
-    action_tokenizer = ActionTokenizer(base_tokenizer, vocab_size=32000)
+    action_tokenizer = (
+        ActionTokenizer(base_tokenizer, vocab_size=32000)
+        if action_tokenizer_exist
+        else None
+    )
 
     ds, dataset_len, stats = make_interleaved_dataset(
         data_mix, data_root_dir,
@@ -80,4 +88,4 @@ def get_vla_dataset_and_collator(
         for frame in ds.as_numpy_iterator():
             yield transform(frame)
 
-    return frame_iter(), collator, stats
+    return frame_iter(), collator, stats, int(dataset_len) if dataset_len else None

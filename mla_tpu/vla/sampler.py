@@ -56,6 +56,16 @@ class SplitModalitySampler:
                     batch = mega[bstart : bstart + g]
                     if len(batch) == g or not self.drop_last:
                         out_batches.append(batch)
+        # __iter__ re-chunks the flat list by fixed stride g, so EVERY batch
+        # must be exactly g long: a short drop_last=False remainder shuffled
+        # into the middle would misalign every later window (mixing
+        # modalities within a "global batch" and handing replicas rows from
+        # different logical batches). Pad short batches by cycling their own
+        # rows (torch DistributedSampler's drop_last=False convention).
+        g = self.global_batch_size
+        out_batches = [
+            b if len(b) == g else (b * (g // len(b) + 1))[:g] for b in out_batches
+        ]
         order = rng.permutation(len(out_batches))
         indices: List[int] = []
         for bi in order:

@@ -69,35 +69,56 @@ def run_simulator_eval(args, logger):
         )
         return 1
 
+    from mla_tpu.vla.datasets import add_mask_channel, clip_preprocess
+
     policy = load_policy(args)
     results = {}
     for task in args.tasks:
         env = RLBenchEnv(task_name=task, camera_name=args.camera_name)
-        successes = 0
-        for ep in range(args.num_episodes):
-            obs = env.reset()
-            done, success = False, False
-            for step in range(args.max_steps):
-                pc = _prep_pc(obs["point_cloud"], policy, args)
-                action_chunk = policy.predict_action_diff(
-                    image=obs["image"],
-                    pointcloud=pc,
-                    instruction=obs["instruction"],
-                    cur_robot_state=obs.get("robot_state"),
-                    unnorm_key=args.unnorm_key,
-                    sampler=args.sampler,
-                    num_dpm_steps=args.num_dpm_steps,
-                )
-                # execute the first action of the chunk (closed loop)
-                obs, reward, done, info = env.step(action_chunk[0])
-                if done:
-                    success = bool(info.get("success", reward > 0))
+        try:
+            successes = 0
+            for ep in range(args.num_episodes):
+                obs = env.reset()
+                done, success = False, False
+                for step in range(args.max_steps):
+                    pc = _prep_pc(obs["point_cloud"], policy, args)
+                    # simulator frames are raw HWC uint8 at camera resolution:
+                    # run the SAME resize+CLIP-normalize+mask prep as training
+                    # (the policy's uint8 fast path expects preprocessed CHW)
+                    img = add_mask_channel(
+                        clip_preprocess(
+                            np.asarray(obs["image"]), policy.cfg.vision.image_size
+                        )
+                    )
+                    action_chunk = policy.predict_action_diff(
+                        image=img,
+                        pointcloud=pc,
+                        instruction=obs["instruction"],
+                        cur_robot_state=obs.get("robot_state"),
+                        unnorm_key=args.unnorm_key,
+                        sampler=args.sampler,
+                        num_dpm_steps=args.num_dpm_steps,
+                    )
+                    # execute the first action of the chunk (closed loop)
+                    obs, reward, done, info = env.step(action_chunk[0])
+                    if done:
+                        success = bool(info.get("success", reward > 0))
+                        break
+                successes += int(success)
+                logger.info(f"[{task}] episode {ep}: success={success}")
+            rate = successes / args.num_episodes
+            results[task] = rate
+            logger.info(f"[{task}] success rate: {rate:.3f}")
+        finally:
+            # PyRep/CoppeliaSim requires an explicit teardown before the next
+            # task's env launch (leaked sims break or OOM multi-task sweeps)
+            for closer in ("shutdown", "close"):
+                if hasattr(env, closer):
+                    try:
+                        getattr(env, closer)()
+                    except Exception:
+                        pass
                     break
-            successes += int(success)
-            logger.info(f"[{task}] episode {ep}: success={success}")
-        rate = successes / args.num_episodes
-        results[task] = rate
-        logger.info(f"[{task}] success rate: {rate:.3f}")
         (Path(args.output_dir) / f"{task}_success_rate.txt").write_text(f"{rate:.4f}\n")
     (Path(args.output_dir) / "results.json").write_text(json.dumps(results, indent=2))
     return 0
@@ -171,8 +192,12 @@ def main(argv=None):
              "dormant grid_subsampling C++ made active, csrc/pointops_host.cpp)",
     )
     args = p.parse_args(argv)
-    if args.tasks == ["all"]:
-        args.tasks = RLBENCH_TASKS
+    if "all" in args.tasks:
+        # expand wherever it appears — 'all' mixed with explicit tasks would
+        # otherwise reach RLBenchEnv as a literal task name after minutes of
+        # policy loading
+        expanded = [t for t in args.tasks if t != "all"]
+        args.tasks = expanded + [t for t in RLBENCH_TASKS if t not in expanded]
 
     logger = setup_logging(Path(args.output_dir))
     if args.offline_trace:

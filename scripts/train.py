@@ -102,10 +102,21 @@ def main(argv=None):
     overwatch = initialize_overwatch("train")
     initialize_distributed()
 
-    tc = get_vla_config(args.vla_type, **_coerce(type(get_vla_config(args.vla_type)), overrides))
-    model_id = args.model or ("mla-tiny" if tc.base_vlm == "mla-tiny" else tc.base_vlm)
+    tc0 = get_vla_config(args.vla_type)
+    tc = get_vla_config(args.vla_type, **_coerce(type(tc0), overrides))
+    model_id = args.model or tc.base_vlm
     stage = tc.stage
     overwatch.info(f"MLA-TPU :: vla={tc.vla_id} model={model_id} stage={stage}")
+    if tc.unfreeze_last_llm_layer:
+        # accepted for config parity; the reference also only LOGS this flag
+        # (scripts/train.py:320 — no freeze path consumes it), and our
+        # scan-stacked decoder layers share one leaf, so a last-layer-only
+        # mask is not expressible. Warn instead of silently ignoring.
+        overwatch.warning(
+            "unfreeze_last_llm_layer is inert (as in the reference, whose "
+            "freeze logic never reads it); with freeze_llm_backbone=true the "
+            "WHOLE decoder stays frozen"
+        )
 
     # --- run dir -----------------------------------------------------------
     run_id = tc.run_id or f"{tc.vla_id}+n{jax.process_count()}+b{tc.per_device_batch_size}+x{tc.seed}"
@@ -160,19 +171,25 @@ def main(argv=None):
     mesh = make_mesh(dp=args.dp, tp=args.tp, fsdp=n_devices // (args.dp * args.tp))
     global_bsz_per_step = tc.per_device_batch_size * n_devices
     grad_accum = max(tc.global_batch_size // global_bsz_per_step, 1)
-    num_steps = tc.max_steps or (tc.epochs * max(tc.shuffle_buffer_size // tc.global_batch_size, 1))
     per_host_batch = tc.per_device_batch_size * jax.local_device_count() * grad_accum
 
     # --- data --------------------------------------------------------------
-    dataset, collator, dataset_statistics = get_vla_dataset_and_collator(
+    dataset, collator, dataset_statistics, dataset_len = get_vla_dataset_and_collator(
         data_root_dir=args.data_root_dir,
         data_mix=tc.data_mix,
         model_cfg=cfg,
         per_host_batch_size=per_host_batch,
         shuffle_buffer_size=tc.shuffle_buffer_size,
-        use_diff=tc.use_diff,
+        action_tokenizer_exist=tc.action_tokenizer_exist,
         seed=tc.seed,
     )
+    # epoch length from the REAL interleaved-mixture transition count when
+    # the pipeline knows it; the shuffle-buffer heuristic only remains for
+    # the synthetic DummyDataset (which has no epoch boundary at all)
+    steps_per_epoch = max(
+        (dataset_len or tc.shuffle_buffer_size) // tc.global_batch_size, 1
+    )
+    num_steps = tc.max_steps or (tc.epochs * steps_per_epoch)
     ckpt_mod.write_run_metadata(run_dir, tc, cfg, dataset_statistics)
 
     train_cfg = strategy.TrainConfig(
@@ -258,10 +275,10 @@ def main(argv=None):
     preempt = {"hit": False}
 
     def _on_preempt(signum, frame):
+        # flag ONLY — a stream write here is not async-signal-safe (reentrant
+        # BufferedWriter crash if the signal lands inside another log call);
+        # the loop logs when it drains the flag
         preempt["hit"] = True
-        overwatch.info(
-            f"signal {signum}: preemption checkpoint at the next step boundary"
-        )
 
     prev_handlers = {
         s: signal.signal(s, _on_preempt) for s in (signal.SIGTERM, signal.SIGUSR1)
@@ -269,7 +286,6 @@ def main(argv=None):
 
     # --- loop (reference run_vla_training, base_strategy_mla.py:251-404) ---
     data_iter = iter(dataset)
-    steps_per_epoch = max(tc.shuffle_buffer_size // tc.global_batch_size, 1)
     for step in range(start_step, num_steps):
         if collator is not None:
             host_batch = collator([next(data_iter) for _ in range(per_host_batch)])

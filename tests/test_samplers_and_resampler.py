@@ -26,6 +26,29 @@ def test_split_modality_sampler_batches_single_modality():
     assert len(idxs) == len(list(iter(s1)))
 
 
+def test_split_modality_sampler_no_drop_keeps_batches_pure_and_aligned():
+    """drop_last=False pads short remainder batches to the full stride by
+    cycling their rows — a short batch in the flat list would misalign every
+    later fixed-stride window (mixed-modality 'global batches', replicas
+    straddling logical batches)."""
+    # 33 multimodal + 13 language-only: both groups leave remainders
+    lens = [(i < 33, 10 + i % 7) for i in range(46)]
+    s = SplitModalitySampler(lens, global_batch_size=8, num_replicas=1, rank=0,
+                             seed=0, drop_last=False)
+    flat = list(iter(s))
+    assert len(flat) % 8 == 0
+    assert set(flat) == set(range(46))  # no example dropped
+    for b in range(0, len(flat), 8):
+        batch = flat[b : b + 8]
+        assert len({lens[i][0] for i in batch}) == 1, batch
+    # replica partition still holds with padding
+    r0 = list(iter(SplitModalitySampler(lens, 8, 2, 0, seed=0, drop_last=False)))
+    r1 = list(iter(SplitModalitySampler(lens, 8, 2, 1, seed=0, drop_last=False)))
+    assert len(r0) == len(r1)
+    for b in range(0, len(r0), 4):
+        assert len({lens[i][0] for i in r0[b : b + 4] + r1[b : b + 4]}) == 1
+
+
 def test_split_modality_sampler_epoch_determinism():
     lens = [(True, i) for i in range(32)]
     a = SplitModalitySampler(lens, 8, 1, 0, seed=3)
