@@ -51,14 +51,24 @@ class PurePromptBuilder(PromptBuilder):
 
 
 class LLaMa2ChatPromptBuilder(PromptBuilder):
-    """[INST] chat format with optional <<SYS>> system block."""
+    """[INST] chat format with the <<SYS> system block (reference
+    llama2_chat_prompter.py). Byte-level parity notes: the opening tag is
+    the reference's literal '<<SYS>' (single closing '>', a typo preserved
+    in its training data); the default prismatic system prompt is
+    substituted when none is given; turns carry NO per-turn '<s>' (the
+    tokenizer auto-inserts BOS once)."""
 
-    SYS = "<<SYS>>\n{}\n<</SYS>>\n\n"
+    SYS = "<<SYS>\n{}\n<</SYS>>\n\n"
+    DEFAULT_SYSTEM = (
+        "You are a helpful language and vision assistant. "
+        "You are able to understand the visual content that the user provides, "
+        "and assist the user with a variety of tasks using natural language."
+    )
 
     def __init__(self, model_family: str, system_prompt: Optional[str] = None) -> None:
         super().__init__(model_family, system_prompt)
         self.bos, self.eos = "<s>", "</s>"
-        self.system = self.SYS.format(system_prompt.strip()) if system_prompt else ""
+        self.system = self.SYS.format((system_prompt or self.DEFAULT_SYSTEM).strip())
         self.prompt, self.turn_count = "", 0
 
     def add_turn(self, role: str, message: str) -> str:
@@ -66,16 +76,17 @@ class LLaMa2ChatPromptBuilder(PromptBuilder):
         message = message.replace("<image>", "").strip()
         if self.turn_count % 2 == 0:
             sys_block = self.system if self.turn_count == 0 else ""
-            wrapped = f"{self.bos}[INST] {sys_block}{message} [/INST] "
+            wrapped = f"[INST] {sys_block}{message} [/INST] "
         else:
-            wrapped = f"{message}{self.eos}"
+            # reference wrap_gpt: empty assistant turns become ' '
+            wrapped = f"{message if message != '' else ' '}{self.eos}"
         self.prompt += wrapped
         self.turn_count += 1
         return wrapped
 
     def get_potential_prompt(self, message: str) -> str:
         sys_block = self.system if self.turn_count == 0 else ""
-        return (self.prompt + f"{self.bos}[INST] {sys_block}{message.strip()} [/INST] ").removeprefix(self.bos).rstrip()
+        return (self.prompt + f"[INST] {sys_block}{message.strip()} [/INST] ").removeprefix(self.bos).rstrip()
 
     def get_prompt(self) -> str:
         return self.prompt.removeprefix(self.bos).rstrip()
@@ -102,7 +113,8 @@ class VicunaV15PromptBuilder(PromptBuilder):
             prefix = self.system if self.turn_count == 0 else ""
             wrapped = f"{prefix}USER: {message} ASSISTANT: "
         else:
-            wrapped = f"{message}{self.eos}"
+            # reference wrap_gpt: empty assistant turns become ' '
+            wrapped = f"{message if message != '' else ' '}{self.eos}"
         self.prompt += wrapped
         self.turn_count += 1
         return wrapped
@@ -126,7 +138,12 @@ class MistralInstructPromptBuilder(PromptBuilder):
     def add_turn(self, role: str, message: str) -> str:
         assert (role == "human") if (self.turn_count % 2 == 0) else (role == "gpt")
         message = message.replace("<image>", "").strip()
-        wrapped = f"[INST] {message} [/INST] " if self.turn_count % 2 == 0 else f"{message}{self.eos}"
+        wrapped = (
+            f"[INST] {message} [/INST] "
+            if self.turn_count % 2 == 0
+            # reference wrap_gpt: empty assistant turns become ' '
+            else f"{message if message != '' else ' '}{self.eos}"
+        )
         self.prompt += wrapped
         self.turn_count += 1
         return wrapped
@@ -149,7 +166,14 @@ class PhiPromptBuilder(PromptBuilder):
     def add_turn(self, role: str, message: str) -> str:
         assert (role == "human") if (self.turn_count % 2 == 0) else (role == "gpt")
         message = message.replace("<image>", "").strip()
-        wrapped = f"Input: {message}\nOutput: " if self.turn_count % 2 == 0 else f"{message}\n{self.eos}"
+        if self.turn_count % 2 == 0:
+            # the CodeGen tokenizer does NOT auto-insert BOS — the reference
+            # prepends it to the FIRST human turn explicitly (phi_prompter.py)
+            bos = self.bos if self.turn_count == 0 else ""
+            wrapped = f"{bos}Input: {message}\nOutput: "
+        else:
+            # reference wrap_gpt: empty assistant turns become ' '
+            wrapped = f"{message if message != '' else ' '}\n{self.eos}"
         self.prompt += wrapped
         self.turn_count += 1
         return wrapped

@@ -25,16 +25,32 @@ def test_pure_prompt_builder_format():
 def test_chat_and_vicuna_builders():
     pb = prompting.get_prompt_builder("llama2-chat", system_prompt="sys")
     pb.add_turn("human", "hello")
-    assert "[INST]" in pb.get_prompt() and "<<SYS>>" in pb.get_prompt()
+    # reference training format: '<<SYS>' opening tag (single '>', the
+    # typo preserved in its training data), no per-turn '<s>'
+    assert pb.get_prompt() == "[INST] <<SYS>\nsys\n<</SYS>>\n\nhello [/INST]"
+    pb.add_turn("gpt", "resp")
+    pb.add_turn("human", "again")
+    assert "</s>[INST] again [/INST]" in pb.get_prompt()
+    assert "<s>" not in pb.get_prompt()
+    # no system prompt -> the default prismatic system block, never empty
+    pbd = prompting.get_prompt_builder("llama2-chat")
+    pbd.add_turn("human", "hello")
+    assert "<<SYS>\nYou are a helpful language and vision assistant." in pbd.get_prompt()
     pb2 = prompting.get_prompt_builder("vicuna-v15")
     pb2.add_turn("human", "hello")
     assert "USER: hello ASSISTANT:" in pb2.get_prompt()
     pb3 = prompting.get_prompt_builder("mistral-instruct")
     pb3.add_turn("human", "hi")
     assert pb3.get_prompt().startswith("[INST] hi [/INST]")
+    # empty assistant turns become ' ' (reference wrap_gpt) — note the
+    # resulting double space before </s> is the reference's exact string
+    pb3.add_turn("gpt", "")
+    assert pb3.get_prompt().endswith("[INST] hi [/INST]  </s>")
+    # phi: explicit BOS on the FIRST human turn (CodeGen tokenizer inserts
+    # none itself — reference phi_prompter.py 'IMPORTANT' note)
     pb4 = prompting.get_prompt_builder("phi-2")
     pb4.add_turn("human", "hi")
-    assert pb4.get_prompt() == "Input: hi\nOutput:"
+    assert pb4.get_prompt() == "<|endoftext|>Input: hi\nOutput:"
 
 
 def test_dit_action_model_shapes_and_loss():

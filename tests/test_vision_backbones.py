@@ -88,6 +88,69 @@ def test_fused_forward():
     assert fused.shape == (1, 4, 32 + 64)
 
 
+def test_no_embed_class_and_layerscale_dinov2_layout():
+    """timm vit_large_patch14_reg4_dinov2 semantics: pos_embed covers patches
+    only (added before prefix tokens) and LayerScale gains scale both
+    residual branches."""
+    cfg = _tiny_cfg(use_cls_token=True, num_reg_tokens=2,
+                    no_embed_class=True, use_layerscale=True)
+    params = vb.vit_init(jax.random.PRNGKey(0), cfg)
+    assert params["pos_embed"].shape == (1, 4, 32)  # patches ONLY
+    assert params["blocks"][0]["ls1"].shape == (32,)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 28, 28))
+    feats = vb.vit_forward(params, cfg, x)
+    assert feats.shape == (1, 4, 32)
+    # LayerScale is load-bearing: zeroing the gains collapses every residual
+    # branch to identity + pos, so outputs must change
+    z = {**params, "blocks": [
+        {**bp, "ls1": bp["ls1"] * 0, "ls2": bp["ls2"] * 0} for bp in params["blocks"]
+    ]}
+    assert np.abs(np.asarray(vb.vit_forward(z, cfg, x)) - np.asarray(feats)).max() > 1e-5
+
+
+def test_pre_norm_applied():
+    cfg = _tiny_cfg(pre_norm=True)
+    params = vb.vit_init(jax.random.PRNGKey(0), cfg)
+    assert "norm_pre" in params
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 28, 28))
+    base = np.asarray(vb.vit_forward(params, cfg, x))
+    scaled = {**params, "norm_pre": {"scale": params["norm_pre"]["scale"] * 2.0,
+                                     "bias": params["norm_pre"]["bias"]}}
+    assert np.abs(np.asarray(vb.vit_forward(scaled, cfg, x)) - base).max() > 1e-5
+
+
+def test_patchify_floors_like_timm_conv():
+    """384 % 14 != 0 — timm's stride-14 conv reads only the first 378 px;
+    the reshape path must crop identically instead of raising."""
+    cfg = _tiny_cfg(image_size=30)  # 30 // 14 = 2, crop to 28
+    params = vb.vit_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 30, 30))
+    feats = vb.vit_forward(params, cfg, x)
+    assert feats.shape == (1, 4, 32)
+    np.testing.assert_allclose(
+        np.asarray(feats),
+        np.asarray(vb.vit_forward(params, cfg, x[:, :, :28, :28])), rtol=1e-6)
+
+
+def test_fused_order_is_dino_first():
+    """The reference concatenates dino features FIRST (dinoclip_vit.py);
+    alphabetical order would put clip first."""
+    cfgs = {"clip-x": _tiny_cfg(), "dinov2-x": _tiny_cfg()}
+    params = {k: vb.vit_init(jax.random.PRNGKey(i), c) for i, (k, c) in enumerate(cfgs.items())}
+    imgs = {k: jax.random.normal(jax.random.PRNGKey(7), (1, 3, 28, 28)) for k in cfgs}
+    fused = np.asarray(vb.fused_vit_forward(params, cfgs, imgs))
+    dino = np.asarray(vb.vit_forward(params["dinov2-x"], cfgs["dinov2-x"], imgs["dinov2-x"]))
+    np.testing.assert_array_equal(fused[..., :32], dino)
+
+
+def test_fused_partner_resolutions_match():
+    """Reference dinosiglip/dinoclip build both towers at the same image size
+    and assert equal num_patches — the fused concat needs it."""
+    for fused_id, (a, b) in vb.FUSED_BACKBONES.items():
+        ca, cb = vb.VIT_CONFIGS[a], vb.VIT_CONFIGS[b]
+        assert ca.num_patches == cb.num_patches, (fused_id, ca.num_patches, cb.num_patches)
+
+
 def test_letterbox_transform():
     img = np.full((30, 60, 3), 255, np.uint8)
     out = vb.vit_image_transform(img, 28, strategy="letterbox")
