@@ -151,27 +151,35 @@ def test_preemption_checkpoint_and_resume(tmp_path):
         "--use_contrastive", "false",
     ]
     run_dir = tmp_path / "preempt-e2e"
-    proc = subprocess.Popen(args, cwd=repo, stdout=subprocess.PIPE,
-                            stderr=subprocess.STDOUT, text=True)
-    try:
-        # wait until the first metrics push proves a step completed
-        deadline = _time.time() + 600
-        jsonl = run_dir / "preempt-e2e.jsonl"
-        while _time.time() < deadline:
-            if jsonl.exists() and jsonl.read_text().strip():
-                break
-            if proc.poll() is not None:
-                raise AssertionError(f"trainer died early:\n{proc.stdout.read()}")
-            _time.sleep(2)
-        else:
-            raise AssertionError("no training step completed within 10 min")
-        proc.send_signal(signal.SIGTERM)
-        out, _ = proc.communicate(timeout=300)
-    finally:
-        if proc.poll() is None:
-            proc.kill()
-    assert proc.returncode == 0, out
-    assert "preempted: checkpoint saved" in out, out
+    # stdout goes to a FILE, not a pipe: XLA's cpu_aot_loader machine-feature
+    # warnings can emit hundreds of KB — an undrained PIPE fills and blocks
+    # the trainer's writes, deadlocking it before the first step completes
+    log_path = tmp_path / "trainer.log"
+    with open(log_path, "w") as log_f:
+        proc = subprocess.Popen(args, cwd=repo, stdout=log_f,
+                                stderr=subprocess.STDOUT, text=True)
+        try:
+            # wait until the first metrics push proves a step completed
+            deadline = _time.time() + 600
+            jsonl = run_dir / "preempt-e2e.jsonl"
+            while _time.time() < deadline:
+                if jsonl.exists() and jsonl.read_text().strip():
+                    break
+                if proc.poll() is not None:
+                    raise AssertionError(f"trainer died early:\n{log_path.read_text()[-4000:]}")
+                _time.sleep(2)
+            else:
+                raise AssertionError(
+                    f"no training step completed within 10 min:\n{log_path.read_text()[-4000:]}"
+                )
+            proc.send_signal(signal.SIGTERM)
+            proc.wait(timeout=300)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+    out = log_path.read_text()
+    assert proc.returncode == 0, out[-4000:]
+    assert "preempted: checkpoint saved" in out, out[-4000:]
 
     ckpts = sorted((run_dir / "checkpoints").glob("step-*"))
     assert ckpts, out
