@@ -170,8 +170,9 @@ def mla_mistral(
     MistralLLMBackbone (models/backbones/llm/mistral.py) composed with the
     same multisensory front-end."""
     llama_cfg = replace(llama_mod.MISTRAL_7B, param_dtype=param_dtype)
+    # pop so an explicit llm_family override via **kw doesn't collide
     return prismatic.MLAModelConfig(
-        llm_family="llama",
+        llm_family=kw.pop("llm_family", "llama"),
         llama=llama_cfg,
         vision=vt_mod.VisionTokenizerConfig(),
         point=pt_mod.PointTokenizerConfig(),
@@ -203,7 +204,7 @@ def mla_phi(
     phi_cfg = _rep(phi_mod.PHI_2, param_dtype=param_dtype)
     D = phi_cfg.hidden_size
     return prismatic.MLAModelConfig(
-        llm_family="phi",
+        llm_family=kw.pop("llm_family", "phi"),
         llama=phi_cfg,
         vision=vt_mod.VisionTokenizerConfig(),
         point=pt_mod.PointTokenizerConfig(),

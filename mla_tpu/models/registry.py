@@ -111,10 +111,14 @@ LLM_BACKBONE_REGISTRY: Dict[str, Dict] = {
     "mistral-v0.1-7b-instruct": {"prompt_family": "mistral-instruct",
                                  "hf_id": "mistralai/Mistral-7B-Instruct-v0.1",
                                  "cfg": dict(intermediate_size=14336, num_kv_heads=8, vocab_size=32064)},
+    "phi-2-3b": {"prompt_family": "phi-2", "hf_id": "microsoft/phi-2",
+                 "cfg": dict()},  # PhiConfig defaults (models/phi.py PHI_2)
 }
 
 
 def get_model_description(model_id: str) -> Dict:
     if model_id not in GLOBAL_REGISTRY:
-        raise ValueError(f"Unknown model `{model_id}`; available: {sorted(MODEL_REGISTRY)}")
+        # GLOBAL_REGISTRY also resolves human-readable alias names — list
+        # everything the lookup actually accepts
+        raise ValueError(f"Unknown model `{model_id}`; available: {sorted(GLOBAL_REGISTRY)}")
     return GLOBAL_REGISTRY[model_id]

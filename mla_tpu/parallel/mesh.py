@@ -43,16 +43,22 @@ def make_mesh(
 def initialize_distributed() -> None:
     """Multi-host init (reference boundary: accelerate.PartialState /
     torchrun rendezvous, util/overwatch/overwatch.py:47-54). On TPU pods the
-    coordinator address comes from the environment; safe no-op single-host."""
+    coordinator address comes from the environment; safe no-op single-host.
+
+    ORDER MATTERS: jax.distributed.initialize() must run before ANY backend
+    query — jax.process_count()/jax.devices() initialize the local backend,
+    after which initialize() raises and N hosts would silently train N
+    divergent un-synchronized single-process replicas."""
     import jax
 
     try:
-        if jax.process_count() > 1 or jax.distributed.is_initialized():
+        if jax.distributed.is_initialized():
             return
     except Exception:
         pass
     try:
         jax.distributed.initialize()
     except Exception:
-        # single-process (CPU tests / single-chip) — nothing to do
+        # single-process (CPU tests / single-chip, no coordinator in the
+        # env) — nothing to do
         pass

@@ -51,14 +51,29 @@ def _spec_for_leaf(path: str, leaf, mesh: Mesh, use_tp: bool) -> P:
     fsdp_size = mesh.shape.get("fsdp", 1)
     tp_size = mesh.shape.get("tp", 1)
     # scan-stacked decoder leaves carry a leading num_layers axis that must
-    # stay unsharded (list-of-dict "layers" like the projector's are flat)
-    is_stacked = "llm_backbone/layers/" in path
+    # stay unsharded (CLAUDE.md invariant). Key on the 'layers/' subtree
+    # itself, not only the llm_backbone root name — a bare decoder tree
+    # (standalone-LLM checkpoint) has paths starting at 'layers/'.
+    # (List-of-dict "layers" like the projector's flatten to 'layers/0/...'
+    # integer segments and stay 2-D, so min_dim=1 is harmless there.)
+    is_stacked = "llm_backbone/layers/" in path or path.startswith("layers/")
     min_dim = 1 if is_stacked else 0
 
     if use_tp and tp_size > 1:
+        # int8-quantized leaves follow their bf16 leaf's rule: w_q [.., K, N]
+        # splits like w; per-out-channel w_scale [.., 1, N] splits only on
+        # N-split (-1) rules and replicates under K-split rules. (int4 w_q4
+        # packs K/2 — memory mode, not a tp target; left replicated.)
+        rule_path, is_scale = path, False
+        if path.endswith("/w_q"):
+            rule_path = path[: -len("_q")]
+        elif path.endswith("/w_scale"):
+            rule_path, is_scale = path[: -len("_scale")], True
         for suffix, tp_dim in _TP_RULES.items():
-            if path.endswith(suffix):
-                d = ndim + tp_dim  # negative index -> absolute
+            if rule_path.endswith(suffix):
+                if is_scale and tp_dim != -1:
+                    break
+                d = ndim + (-1 if is_scale else tp_dim)
                 if 0 <= d < ndim and leaf.shape[d] % tp_size == 0:
                     spec[d] = "tp"
                 break

@@ -19,7 +19,7 @@ import numpy as np
 
 
 @contextlib.contextmanager
-def trace(logdir: str, *, host_profiling: bool = True) -> Iterator[None]:
+def trace(logdir: str) -> Iterator[None]:
     import jax
 
     jax.profiler.start_trace(logdir, create_perfetto_link=False)

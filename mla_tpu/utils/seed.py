@@ -21,5 +21,7 @@ def set_global_seed(seed: int, *, fold_process_index: bool = True):
         seed = (seed + 1_000_003 * jax.process_index()) % (2**32)
     random.seed(seed)
     np.random.seed(seed)
+    # hash randomization is fixed at interpreter startup — this only makes
+    # CHILD processes (data workers) deterministic, never the current one
     os.environ["PYTHONHASHSEED"] = str(seed)
     return jax.random.PRNGKey(seed)
