@@ -661,7 +661,7 @@ class MLAPolicy:
         unnorm_key: Optional[str] = None,
         seed: int = 0,
         input_ids: Optional[np.ndarray] = None,   # [1, L] shared or [B, L] per-row
-        cur_robot_states: Optional[np.ndarray] = None,  # [B, action_dim]
+        cur_robot_states=None,  # [B, action_dim] array, or list with per-row None
         sampler: str = "ddim",
         num_dpm_steps: int = 4,
         num_ddim_steps: Optional[int] = None,
@@ -693,7 +693,7 @@ class MLAPolicy:
         unnorm_key: Optional[str] = None,
         seed: int = 0,
         input_ids: Optional[np.ndarray] = None,
-        cur_robot_states: Optional[np.ndarray] = None,
+        cur_robot_states=None,  # [B, action_dim] array, or list with per-row None
         sampler: str = "ddim",
         num_dpm_steps: int = 4,
         num_ddim_steps: Optional[int] = None,
@@ -717,11 +717,16 @@ class MLAPolicy:
             raise ValueError(f"input_ids rows {ids.shape[0]} != batch {B}")
         prefix_ids = jnp.asarray(ids[:, :-1])
         tail_ids = jnp.asarray(ids[:, -1:])
-        if cur_robot_states is not None:
+        if cur_robot_states is not None and any(
+            s is not None for s in cur_robot_states
+        ):
             # per-row None = no proprio for that request -> NORMALIZED zero,
             # exactly what the solo predict path uses; normalizing a raw zero
             # instead would make a request's result depend on which batch it
-            # coalesced into (asymmetric q01/q99 stats shift raw 0)
+            # coalesced into (asymmetric q01/q99 stats shift raw 0). Stats
+            # are fetched only when some row needs them: an all-None list
+            # must behave exactly like cur_robot_states=None (no proprio
+            # stats required).
             pstats = self.get_proprio_stats(unnorm_key)
             proprio = jnp.asarray(np.stack([
                 normalize_proprio(np.asarray(s, np.float32), pstats)
