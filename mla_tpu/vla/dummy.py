@@ -8,12 +8,15 @@ from typing import Any, Dict, Iterator, Optional
 
 import numpy as np
 
-PAD_ID = 32000
-BOS_ID = 1
-EOS_ID = 2
-EMPTY_ID = 29871
-BOD_ID = 32001
-EOD_ID = 32002
+# the one source of the special-token id layout (re-exported for callers)
+from mla_tpu.vla.tokenizer import (  # noqa: F401
+    BOD_ID,
+    BOS_ID,
+    EMPTY_ID,
+    EOD_ID,
+    EOS_ID,
+    PAD_ID,
+)
 
 
 def synthetic_batch(cfg, B: int = 2, L: int = 16, seed: int = 0, training: bool = True) -> Dict[str, Any]:

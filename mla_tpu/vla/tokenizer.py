@@ -53,7 +53,10 @@ class SimpleTokenizer:
         for chunk in re.split(r"(<BOD>|<EOD>|<id:\d+>)", text):
             if not chunk:
                 continue
-            if chunk.startswith("<"):
+            # only EXACT specials are opaque pieces — ordinary text that
+            # merely starts with '<' must still split into words, or the
+            # whole chunk collapses into one hashed id
+            if chunk in ("<BOD>", "<EOD>") or self._GLYPH.fullmatch(chunk):
                 out.append(chunk)
             else:
                 out.extend(w for w in re.split(r"(\W)", chunk) if w and not w.isspace())
