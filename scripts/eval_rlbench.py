@@ -49,6 +49,93 @@ def setup_logging(output_dir: Path) -> logging.Logger:
     return logger
 
 
+def _write_video(frames, path: Path, fps: int = 10) -> bool:
+    """Write an episode rollout video (reference test_rlbench.py:193
+    `env.save_video(.../episode{i}_video_steps.mp4)`). Tries cv2's mp4
+    writer, then imageio; returns False (and leaves no file) when neither
+    backend can encode on this machine."""
+    frames = [np.asarray(f) for f in frames]
+    if not frames:
+        return False
+    path.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        import cv2
+
+        h, w = frames[0].shape[:2]
+        vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        if vw.isOpened():
+            for f in frames:
+                vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+            vw.release()
+            if path.exists() and path.stat().st_size > 0:
+                return True
+    except Exception:
+        pass
+    try:
+        import imageio
+
+        imageio.mimsave(str(path), frames, fps=fps)
+        return True
+    except Exception:
+        return False
+
+
+def _write_frames(frames, frame_dir: Path) -> None:
+    """Per-step RGB frame dump (reference `env.save_images(image_dir)`)."""
+    from PIL import Image
+
+    frame_dir.mkdir(parents=True, exist_ok=True)
+    for j, f in enumerate(frames):
+        Image.fromarray(np.asarray(f)).save(frame_dir / f"frame_{j:04d}.png")
+
+
+def _write_depths(depths, depth_dir: Path) -> None:
+    """Per-step depth dump (reference `env.save_depths(depth_dir)`); saved
+    lossless as .npy (the reference's lift3d wrapper quantizes to images)."""
+    depth_dir.mkdir(parents=True, exist_ok=True)
+    for j, d in enumerate(depths):
+        np.save(depth_dir / f"depth_{j:04d}.npy", np.asarray(d))
+
+
+def save_episode_media(out_root: Path, task: str, episode: int, frames, depths,
+                       env=None, logger=None) -> None:
+    """Reference media layout (scripts/test_rlbench.py:185-196):
+
+        <out>/<task>/videos/episode{i}_video_steps.mp4
+        <out>/<task>/images/episode{i}/frame_{j:04d}.png
+        <out>/<task>/depths/episode{i}/depth_{j:04d}.npy
+
+    Prefers the env's own cinematic recorder (lift3d VideoWrapper
+    save_video/save_images/save_depths) when present — it records
+    every sim frame, not just policy steps — else writes the frames
+    collected in the eval loop."""
+    base = Path(out_root) / task
+    video_path = base / "videos" / f"episode{episode}_video_steps.mp4"
+    image_dir = base / "images" / f"episode{episode}"
+    depth_dir = base / "depths" / f"episode{episode}"
+    used_env = False
+    if env is not None and hasattr(env, "save_video"):
+        try:
+            video_path.parent.mkdir(parents=True, exist_ok=True)
+            env.save_video(str(video_path))
+            if hasattr(env, "save_images"):
+                image_dir.mkdir(parents=True, exist_ok=True)
+                env.save_images(str(image_dir), quiet=True)
+            if hasattr(env, "save_depths"):
+                depth_dir.mkdir(parents=True, exist_ok=True)
+                env.save_depths(str(depth_dir), quiet=True)
+            used_env = True
+        except Exception as e:  # recorder broken mid-episode: fall back
+            if logger:
+                logger.warning(f"env recorder failed ({e}); writing collected frames")
+    if not used_env:
+        if _write_video(frames, video_path) and logger:
+            logger.info(f"video saved to {video_path}")
+        _write_frames(frames, image_dir)
+        if depths:
+            _write_depths(depths, depth_dir)
+
+
 def load_policy(args):
     from mla_tpu.models.load import load_vla
     from mla_tpu.vla.tokenizer import SimpleTokenizer, load_llama_tokenizer
@@ -80,7 +167,12 @@ def run_simulator_eval(args, logger):
             for ep in range(args.num_episodes):
                 obs = env.reset()
                 done, success = False, False
+                ep_frames, ep_depths = [], []
                 for step in range(args.max_steps):
+                    if args.save_media:
+                        ep_frames.append(np.asarray(obs["image"]))
+                        if "depth" in obs:
+                            ep_depths.append(np.asarray(obs["depth"]))
                     pc = _prep_pc(obs["point_cloud"], policy, args)
                     # simulator frames are raw HWC uint8 at camera resolution:
                     # run the SAME resize+CLIP-normalize+mask prep as training
@@ -105,6 +197,11 @@ def run_simulator_eval(args, logger):
                         success = bool(info.get("success", reward > 0))
                         break
                 successes += int(success)
+                if args.save_media:
+                    save_episode_media(
+                        Path(args.output_dir), task, ep, ep_frames, ep_depths,
+                        env=env, logger=logger,
+                    )
                 logger.info(f"[{task}] episode {ep}: success={success}")
             rate = successes / args.num_episodes
             results[task] = rate
@@ -159,6 +256,11 @@ def run_offline_trace(args, logger):
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
     np.savez(out / "predicted_actions.npz", actions=np.stack(actions), latencies=np.asarray(latencies))
+    if args.save_media:
+        # replay media parity: the trace's raw frames as episode0 video +
+        # frame strip (no sim, so no depth unless the trace recorded one)
+        depths = list(trace["depths"]) if "depths" in trace.files else []
+        save_episode_media(out, "offline", 0, list(images), depths, logger=logger)
     warm = latencies[1:] if len(latencies) > 1 else latencies  # drop compile step
     logger.info(
         f"offline trace: {len(images)} steps, p50 latency "
@@ -185,6 +287,11 @@ def main(argv=None):
              "better ODE accuracy (beyond-parity serving mode)",
     )
     p.add_argument("--num_dpm_steps", type=int, default=4)
+    p.add_argument(
+        "--save_media", action=argparse.BooleanOptionalAction, default=True,
+        help="per-episode video/frame/depth dumps under <output_dir>/<task>/ "
+             "(reference test_rlbench.py:185-196 layout)",
+    )
     p.add_argument(
         "--voxel_cell", type=float, default=None,
         help="voxel-grid cell size (m) for raw-cloud preprocessing; clouds "

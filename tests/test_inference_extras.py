@@ -1,5 +1,7 @@
 """Prompt builders, DiT action model, CFG, and the dual-head policy path."""
 
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -220,6 +222,44 @@ def test_eval_rlbench_offline_trace(tmp_path):
     assert blob["actions"].shape == (2, cfg.action_horizon, cfg.action_dim)
     assert np.isfinite(blob["actions"]).all()
     assert blob["latencies"].shape == (2,)
+    # per-episode media dumps, reference test_rlbench.py:185-196 layout
+    media = tmp_path / "out" / "offline"
+    pngs = sorted(p.name for p in (media / "images" / "episode0").glob("*.png"))
+    assert pngs == ["frame_0000.png", "frame_0001.png"]
+    video = media / "videos" / "episode0_video_steps.mp4"
+    assert video.exists() and video.stat().st_size > 0
+
+
+def test_save_episode_media_prefers_env_recorder(tmp_path):
+    """When the env is a lift3d VideoWrapper (save_video/save_images/
+    save_depths), the eval loop must route dumps through it — the sim
+    recorder captures every cinematic frame, not just policy steps."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "scripts")
+    eval_mod = importlib.import_module("eval_rlbench")
+
+    calls = {}
+
+    class FakeRecorderEnv:
+        def save_video(self, path):
+            calls["video"] = path
+            Path(path).write_bytes(b"mp4")
+
+        def save_images(self, d, quiet=False):
+            calls["images"] = d
+
+        def save_depths(self, d, quiet=False):
+            calls["depths"] = d
+
+    frames = [np.zeros((8, 8, 3), np.uint8)]
+    eval_mod.save_episode_media(tmp_path, "close_box", 3, frames, [], env=FakeRecorderEnv())
+    assert calls["video"].endswith("close_box/videos/episode3_video_steps.mp4")
+    assert calls["images"].endswith("close_box/images/episode3")
+    assert calls["depths"].endswith("close_box/depths/episode3")
+    # env recorder used -> the loop-collected frames are NOT double-written
+    assert not list((tmp_path / "close_box" / "images" / "episode3").glob("*.png"))
 
 
 def test_eval_rlbench_offline_trace_dpm_and_voxel(tmp_path):
