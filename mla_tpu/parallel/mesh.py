@@ -48,7 +48,15 @@ def initialize_distributed() -> None:
     ORDER MATTERS: jax.distributed.initialize() must run before ANY backend
     query — jax.process_count()/jax.devices() initialize the local backend,
     after which initialize() raises and N hosts would silently train N
-    divergent un-synchronized single-process replicas."""
+    divergent un-synchronized single-process replicas.
+
+    Clusters without an auto-detectable scheduler (bare CPU/GPU nodes; the
+    2-process e2e test) configure the rendezvous explicitly via
+    MLA_COORDINATOR_ADDRESS / MLA_NUM_PROCESSES / MLA_PROCESS_ID — the
+    explicit path raises on misconfiguration instead of degrading to
+    single-process."""
+    import os
+
     import jax
 
     try:
@@ -56,6 +64,14 @@ def initialize_distributed() -> None:
             return
     except Exception:
         pass
+    addr = os.environ.get("MLA_COORDINATOR_ADDRESS")
+    if addr:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ["MLA_NUM_PROCESSES"]),
+            process_id=int(os.environ["MLA_PROCESS_ID"]),
+        )
+        return
     try:
         jax.distributed.initialize()
     except Exception:

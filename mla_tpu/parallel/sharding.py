@@ -113,12 +113,23 @@ def shard_params(params: Any, mesh: Mesh, use_tp: bool = False) -> Any:
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Device-put a host batch with leading-dim sharding. Scalars and
-    0-d leaves replicate."""
+    0-d leaves replicate.
+
+    Multi-process: the incoming batch is HOST-LOCAL (each host loaded its
+    own disjoint RLDS shard, scripts/train.py per_host_batch); the global
+    array is assembled from the per-process pieces. A plain device_put
+    would instead treat each host's local rows as the (differing) full
+    global array — silently wrong data on every host past the first."""
     data = batch_sharding(mesh)
     rep = replicate(mesh)
+    multiprocess = jax.process_count() > 1
 
     def put(x):
         if hasattr(x, "ndim") and x.ndim > 0:
+            if multiprocess:
+                import numpy as np
+
+                return jax.make_array_from_process_local_data(data, np.asarray(x))
             return jax.device_put(x, data)
         return jax.device_put(x, rep)
 

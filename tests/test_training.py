@@ -212,3 +212,89 @@ def test_vla_metrics_throughput(tmp_path):
     tps = rec["VLA Train/Tokens per Sec"]
     assert tps == pytest.approx(5000.0, rel=0.1)
     assert rec["VLA Train/MFU"] == pytest.approx(tps * 6e9 / 197e12, rel=1e-6)
+
+
+def test_two_process_distributed_train_step(tmp_path):
+    """2-process jax.distributed e2e (localhost coordinator, CPU backend):
+    both hosts must run ONE synchronized update — identical post-step
+    params/loss across processes, a global batch spanning both hosts' rows
+    (the shard_batch make_array_from_process_local_data path), and disjoint
+    RLDS per-host data shards. Guards the initialize-before-backend-query
+    ordering (commit 2cd54d2): broken ordering leaves process_count()==1
+    and the child asserts out."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    # free localhost port for the coordinator
+    with socket.socket() as s:
+        try:
+            s.bind(("127.0.0.1", 0))
+        except OSError:
+            pytest.skip("no localhost sockets available")
+        port = s.getsockname()[1]
+
+    # on-disk tfds fixture for the RLDS shard-disjointness half
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_tfds_builder import write_rlbench_fixture
+
+    data_dir = tmp_path / "data"
+    write_rlbench_fixture(data_dir)
+
+    child = Path(__file__).parent / "distributed_child.py"
+    procs, logs = [], []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            PALLAS_AXON_TPU_GEN="",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            MLA_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            MLA_NUM_PROCESSES="2",
+            MLA_PROCESS_ID=str(pid),
+            MLA_CHILD_DATA_DIR=str(data_dir),
+        )
+        # stream to files: an unread PIPE deadlocks on XLA's chatty stderr
+        log = open(tmp_path / f"child{pid}.log", "w+")
+        logs.append(log)
+        procs.append(subprocess.Popen(
+            [_sys.executable, str(child)], env=env, stdout=log, stderr=subprocess.STDOUT,
+        ))
+    try:
+        for p in procs:
+            p.wait(timeout=900)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    outs = []
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        log.seek(0)
+        text = log.read()
+        log.close()
+        assert p.returncode == 0, f"child {pid} failed:\n{text[-3000:]}"
+        outs.append(json.loads(
+            [l for l in text.splitlines() if l.startswith("{")][-1]
+        ))
+
+    a, b = sorted(outs, key=lambda o: o["pid"])
+    assert (a["process_count"], b["process_count"]) == (2, 2)
+    assert a["global_devices"] == b["global_devices"] == 4
+    assert a["step"] == b["step"] == 1
+    # ONE synchronized model: bit-identical global loss and post-step params
+    assert a["loss"] == b["loss"]
+    assert a["param_norm"] == b["param_norm"]
+    # the global batch really contains BOTH hosts' (different) local rows
+    assert a["local_pc_sum"] != b["local_pc_sum"]
+    assert a["global_pc_sum"] == b["global_pc_sum"]
+    assert a["global_pc_sum"] == pytest.approx(
+        a["local_pc_sum"] + b["local_pc_sum"], rel=1e-6
+    )
+    # RLDS per-host shards: disjoint, and together exactly the fixture
+    # episodes (lengths 10/12/8)
+    assert a["shard_lens"] and b["shard_lens"]
+    assert sorted(a["shard_lens"] + b["shard_lens"]) == [8, 10, 12]
