@@ -253,6 +253,13 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
     # compound mode: batched serving WITH the DPM-4 sampler — both levers
     # multiply (weight reads amortize across B AND across half the evals)
     batch_dpm4 = timed_mode(4, 300, sampler="dpm", num_dpm_steps=4)
+    # DPM-2/3 floor probes (qualified at small scale, docs/kernels.md) —
+    # env-gated: each is a NEW unrolled 7B program (~10 min cold remote
+    # compile), too costly for the driver's default path
+    dpm2 = dpm3 = None
+    if os.environ.get("MLA_BENCH_DPM23"):
+        dpm2 = timed_mode(1, 400, sampler="dpm", num_dpm_steps=2)
+        dpm3 = timed_mode(1, 500, sampler="dpm", num_dpm_steps=3)
 
     # phase split derived in-graph: the DDIM-8 and DPM-4 graphs are identical
     # except for the denoise-eval count (8 vs 4 suffix forwards), so their
@@ -290,6 +297,8 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
         "ar_actions_per_sec": ar_throughput,
         "dpm4_chunks_per_sec": dpm4,
         "batch_dpm4_chunks_per_sec": batch_dpm4,
+        "dpm2_chunks_per_sec": dpm2,
+        "dpm3_chunks_per_sec": dpm3,
         "suffix_ms_per_step": suffix_ms,
         "prefill_ms": prefill_ms,
         "mfu_prefill": mfu_prefill,
@@ -338,6 +347,12 @@ def _emit(result, model_used, backend, extra=None):
         else None,
         "batch_dpm4_chunks_per_sec": round(result["batch_dpm4_chunks_per_sec"], 2)
         if result.get("batch_dpm4_chunks_per_sec")
+        else None,
+        "dpm2_chunks_per_sec": round(result["dpm2_chunks_per_sec"], 2)
+        if result.get("dpm2_chunks_per_sec")
+        else None,
+        "dpm3_chunks_per_sec": round(result["dpm3_chunks_per_sec"], 2)
+        if result.get("dpm3_chunks_per_sec")
         else None,
         # the AR action head (reference predict_action_ar): 7 greedy tokens
         # against the cached multimodal prefix
@@ -458,6 +473,23 @@ def _augment_degraded(json_line: str, on_tpu: bool, backend):
     return json.dumps(out)
 
 
+def _json_probe(cmd, timeout_s, env):
+    """Run a side-probe script in a bounded subprocess; return its last JSON
+    stdout line (or an error marker). The probes (training step time/MFU,
+    on-chip kernel revalidation) must never hang or fail the headline bench."""
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout_s, env=env)
+        lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+        if lines:
+            return json.loads(lines[-1])
+        return {"error": (p.stderr.strip().splitlines() or ["no output"])[-1][:300]}
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {timeout_s}s"}
+    except Exception as e:  # noqa: BLE001
+        return {"error": f"{type(e).__name__}: {e}"[:300]}
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--model":
         _run_single(sys.argv[2])
@@ -485,7 +517,31 @@ def main():
         )
         lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
         if proc.returncode == 0 and lines:
-            print(_augment_degraded(lines[-1], on_tpu, backend))
+            out_line = lines[-1]
+            if on_tpu:
+                # chip-only side measurements (VERDICT r3 items 2-3), each
+                # bounded and failure-tolerant so they can't sink the
+                # headline: one real mla-small train step (step time /
+                # tokens-per-s / MFU) + Pallas kernel revalidation at real
+                # tile shapes (interpret mode can't catch TPU tiling bugs)
+                here = os.path.dirname(os.path.abspath(__file__))
+                training = _json_probe(
+                    [sys.executable, os.path.join(here, "scripts", "tpu_smoke.py"),
+                     "--model", "mla-small", "--batch", "8", "--steps", "4"],
+                    timeout_s=2700, env=child_env,
+                )
+                kernels = _json_probe(
+                    [sys.executable, os.path.join(here, "scripts", "kernel_check.py")],
+                    timeout_s=1800, env=child_env,
+                )
+                try:
+                    merged = json.loads(out_line)
+                    merged["training"] = training
+                    merged["kernel_revalidation"] = kernels
+                    out_line = json.dumps(merged)
+                except json.JSONDecodeError:
+                    pass
+            print(_augment_degraded(out_line, on_tpu, backend))
             return
         last_err = (proc.stderr.strip().splitlines() or ["unknown"])[-1]
     print(json.dumps({"metric": "action_chunks_per_sec_chip", "value": 0.0,

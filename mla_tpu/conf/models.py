@@ -64,6 +64,20 @@ def mla_2b(**kw) -> prismatic.MLAModelConfig:
     return replace(cfg, llama=replace(cfg.llama, num_layers=8))
 
 
+def mla_medium(**kw) -> prismatic.MLAModelConfig:
+    """~0.45B decoder (hidden 2048 x 6 layers, head_dim 128) with the full
+    production front-ends — the middle rung of the sampler-qualification
+    scale ladder (tiny -> small -> medium -> 2b), sized to stay trainable
+    on a single host for the briefly-trained fidelity sweeps."""
+    cfg = mla_7b(**kw)
+    llama_cfg = replace(
+        cfg.llama, hidden_size=2048, intermediate_size=5632, num_layers=6,
+        num_heads=16, num_kv_heads=16, contrastive_layer=3,
+    )
+    gen = _gen_cfg(2048, cfg.use_generation, cfg.use_tactile, cfg.use_roi)
+    return replace(cfg, llama=llama_cfg, gen=gen)
+
+
 def mla_small(**kw) -> prismatic.MLAModelConfig:
     """~120M decoder with PRODUCTION-SHAPE hot loops (head_dim 128, full
     672px/1024-pt front-ends, real sequence lengths) — single-chip
@@ -219,6 +233,7 @@ MODEL_REGISTRY: Dict[str, Callable[..., prismatic.MLAModelConfig]] = {
     "mla-7b": mla_7b,
     "prism-dinosiglip-224px+7b": mla_7b,  # the reference's base_vlm id
     "mla-2b": mla_2b,
+    "mla-medium": mla_medium,
     "mla-small": mla_small,
     "mla-tiny": mla_tiny,
     "mla-golden": mla_golden,

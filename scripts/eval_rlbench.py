@@ -168,6 +168,8 @@ def run_simulator_eval(args, logger):
                 obs = env.reset()
                 done, success = False, False
                 ep_frames, ep_depths = [], []
+                ar_time_sum = diff_time_sum = ar_conf_sum = 0.0
+                n_steps = 0
                 for step in range(args.max_steps):
                     if args.save_media:
                         ep_frames.append(np.asarray(obs["image"]))
@@ -182,21 +184,44 @@ def run_simulator_eval(args, logger):
                             np.asarray(obs["image"]), policy.cfg.vision.image_size
                         )
                     )
-                    action_chunk = policy.predict_action_diff(
-                        image=img,
-                        pointcloud=pc,
-                        instruction=obs["instruction"],
-                        cur_robot_state=obs.get("robot_state"),
-                        unnorm_key=args.unnorm_key,
-                        sampler=args.sampler,
-                        num_dpm_steps=args.num_dpm_steps,
-                    )
+                    if args.predict_mode == "diff_ar":
+                        # dual-head step (reference test_rlbench.py AR+diff
+                        # logging): diffusion chunk executes, AR head runs
+                        # for its confidence + timing telemetry
+                        out = policy.predict_action_diff_ar(
+                            img, pc, obs["instruction"],
+                            cur_robot_state=obs.get("robot_state"),
+                            unnorm_key=args.unnorm_key,
+                        )
+                        action_chunk = out["actions"]
+                        ar_time_sum += out["timings"][0]
+                        diff_time_sum += out["timings"][1]
+                        ar_conf_sum += float(np.mean(out["ar_max_probs"]))
+                    else:
+                        t0 = time.perf_counter()
+                        action_chunk = policy.predict_action_diff(
+                            image=img,
+                            pointcloud=pc,
+                            instruction=obs["instruction"],
+                            cur_robot_state=obs.get("robot_state"),
+                            unnorm_key=args.unnorm_key,
+                            sampler=args.sampler,
+                            num_dpm_steps=args.num_dpm_steps,
+                        )
+                        diff_time_sum += time.perf_counter() - t0
+                    n_steps += 1
                     # execute the first action of the chunk (closed loop)
                     obs, reward, done, info = env.step(action_chunk[0])
                     if done:
                         success = bool(info.get("success", reward > 0))
                         break
                 successes += int(success)
+                if n_steps:
+                    # per-episode telemetry, reference test_rlbench.py:178-181
+                    if args.predict_mode == "diff_ar":
+                        logger.info(f"average ar_sum = {ar_conf_sum / n_steps:.6f}")
+                        logger.info(f"average ar infer time = {ar_time_sum / n_steps:.6f}")
+                    logger.info(f"average diff infer time = {diff_time_sum / n_steps:.6f}")
                 if args.save_media:
                     save_episode_media(
                         Path(args.output_dir), task, ep, ep_frames, ep_depths,
@@ -287,6 +312,12 @@ def main(argv=None):
              "better ODE accuracy (beyond-parity serving mode)",
     )
     p.add_argument("--num_dpm_steps", type=int, default=4)
+    p.add_argument(
+        "--predict_mode", default="diff", choices=["diff", "diff_ar"],
+        help="diff = diffusion chunk only (reference default); diff_ar = "
+             "dual-head step with AR confidence + per-phase timing telemetry "
+             "(reference test_rlbench.py ar_sum / ar infer time logging)",
+    )
     p.add_argument(
         "--save_media", action=argparse.BooleanOptionalAction, default=True,
         help="per-episode video/frame/depth dumps under <output_dir>/<task>/ "

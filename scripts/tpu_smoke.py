@@ -76,10 +76,25 @@ def main():
         seq = 32 + cfg.fused_len + cfg.diff_block_len
         toks = args.batch * seq * tcfg.repeated_diffusion_steps
         p50 = sorted(warm)[len(warm) // 2]
+        # training MFU, PaLM convention (6N per token, remat recompute not
+        # counted; same per-token decoder param rules as scripts/train.py —
+        # embed is a gather, lm_head never multiplies in diffusion mode)
+        llm = state["params"]["llm_backbone"]
+        skip = {"embed"} | ({"lm_head"} if cfg.use_diff else set())
+        n_params = sum(
+            int(l.size)
+            for k, sub in llm.items() if k not in skip
+            for l in jax.tree_util.tree_leaves(sub)
+        )
+        mfu = None
+        if jax.default_backend() == "tpu":
+            mfu = (toks / p50) * 6.0 * n_params / (197e12 * jax.device_count())
         print(json.dumps({
             "train_step_p50_s": round(p50, 4),
             "train_tokens_per_sec": round(toks / p50, 1),
+            "train_mfu": round(mfu, 4) if mfu is not None else None,
             "model": args.model, "batch": args.batch, "seq": seq,
+            "backend": jax.default_backend(),
         }))
 
 

@@ -102,3 +102,20 @@ def test_bf16_inputs():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2
     )
+
+
+def test_kernel_check_script_smoke():
+    """scripts/kernel_check.py (the bench's on-chip kernel revalidation
+    probe) must stay importable and its checks pass in interpret mode;
+    the real revalidation is its TPU run attached to the bench JSON."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "scripts")
+    kc = importlib.import_module("kernel_check")
+    r = kc.check_flash(16, 32, S=48)
+    assert r["ok"], r
+    r = kc.check_flash(32, 16, S=48)
+    assert r["ok"], r
+    r = kc.check_fps()
+    assert r["ok"], r

@@ -305,3 +305,85 @@ def test_eval_rlbench_offline_trace_dpm_and_voxel(tmp_path):
     blob = np.load(tmp_path / "out" / "predicted_actions.npz")
     assert blob["actions"].shape == (1, cfg.action_horizon, cfg.action_dim)
     assert np.isfinite(blob["actions"]).all()
+
+
+def test_eval_rlbench_sim_loop_with_fake_env(tmp_path):
+    """Drive run_simulator_eval end-to-end with a stub RLBenchEnv (the real
+    one is an external CoppeliaSim dependency, as in the reference): closed
+    loop over both predict modes' episode accounting, the dual-head
+    telemetry lines, media dumps, success-rate artifacts, and env teardown."""
+    import importlib
+    import json
+    import sys
+    import types
+
+    from mla_tpu.conf.vla import get_vla_config
+    from mla_tpu.training import checkpointing as ckpt
+    from mla_tpu.training import optim, strategy
+
+    cfg = tiny_config()
+    params, mstate = tiny_model(cfg)
+    tx, _, _ = optim.make_optimizer(params, num_training_steps=10)
+    state = strategy.init_train_state(params, tx, mstate)
+    run_dir = tmp_path / "run"
+    stats = {"rlbench": {"action": {"q01": [-1.0] * 7, "q99": [1.0] * 7},
+                         "proprio": {"q01": [-1.0] * 7, "q99": [1.0] * 7}}}
+    ckpt.write_run_metadata(run_dir, get_vla_config("mla-tiny-debug"), cfg, stats)
+    ckpt.save_checkpoint(run_dir, state, step=1, epoch=0, loss=0.5)
+
+    rng = np.random.default_rng(3)
+    obs = {
+        "image": rng.integers(0, 255, size=(96, 128, 3), dtype=np.uint8),
+        "point_cloud": rng.uniform(-0.3, 0.7, size=(cfg.point.input_points, 3)).astype(np.float32),
+        "instruction": "close the box",
+        "robot_state": np.zeros(7, np.float32),
+    }
+    teardowns = []
+
+    class FakeEnv:
+        def __init__(self, task_name, camera_name):
+            self.task, self.t = task_name, 0
+
+        def reset(self):
+            self.t = 0
+            return dict(obs)
+
+        def step(self, action):
+            assert np.asarray(action).shape == (cfg.action_dim,)
+            self.t += 1
+            done = self.t >= 2
+            return dict(obs), float(done), done, {"success": True}
+
+        def shutdown(self):
+            teardowns.append(self.task)
+
+    pkg = types.ModuleType("lift3d")
+    envs = types.ModuleType("lift3d.envs")
+    mod = types.ModuleType("lift3d.envs.rlbench_env")
+    mod.RLBenchEnv = FakeEnv
+    sys.modules.update(
+        {"lift3d": pkg, "lift3d.envs": envs, "lift3d.envs.rlbench_env": mod}
+    )
+    try:
+        sys.path.insert(0, "scripts")
+        eval_mod = importlib.import_module("eval_rlbench")
+        out = tmp_path / "out"
+        rc = eval_mod.main([
+            "--run_dir", str(run_dir), "--model", "mla-tiny",
+            "--tasks", "close_box", "--num_episodes", "1", "--max_steps", "3",
+            "--unnorm_key", "rlbench", "--predict_mode", "diff_ar",
+            "--output_dir", str(out),
+        ])
+    finally:
+        for name in ("lift3d", "lift3d.envs", "lift3d.envs.rlbench_env"):
+            sys.modules.pop(name, None)
+    assert rc == 0
+    assert teardowns == ["close_box"]
+    assert json.loads((out / "results.json").read_text()) == {"close_box": 1.0}
+    assert (out / "close_box_success_rate.txt").read_text().strip() == "1.0000"
+    log = (out / "eval.log").read_text()
+    assert "average ar infer time" in log and "average diff infer time" in log
+    # per-episode media in the reference layout
+    frames = list((out / "close_box" / "images" / "episode0").glob("*.png"))
+    assert len(frames) == 2
+    assert (out / "close_box" / "videos" / "episode0_video_steps.mp4").exists()
