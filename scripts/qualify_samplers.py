@@ -51,7 +51,8 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def trained_model(model_id: str, weight_seed: int, train_steps: int = 0):
+def trained_model(model_id: str, weight_seed: int, train_steps: int = 0,
+                  optimizer: str = "adamw"):
     import jax
 
     from mla_tpu.conf.models import get_model_config
@@ -60,7 +61,8 @@ def trained_model(model_id: str, weight_seed: int, train_steps: int = 0):
     cfg = get_model_config(model_id.removesuffix("-int8"), use_contrastive=False)
     params, state = prismatic.mla_model_init(jax.random.PRNGKey(weight_seed), cfg)
     if train_steps:
-        params, state = _train(params, state, cfg, train_steps, weight_seed)
+        params, state = _train(params, state, cfg, train_steps, weight_seed,
+                               optimizer=optimizer)
     return params, state, cfg
 
 
@@ -79,16 +81,19 @@ def make_policy(params, state, cfg, quantize: bool = False):
     return MLAPolicy(params, state, cfg, tokenizer=SimpleTokenizer(), norm_stats=stats)
 
 
-def build_policy(model_id: str, weight_seed: int, train_steps: int = 0):
-    params, state, cfg = trained_model(model_id, weight_seed, train_steps)
+def build_policy(model_id: str, weight_seed: int, train_steps: int = 0,
+                 optimizer: str = "adamw"):
+    params, state, cfg = trained_model(model_id, weight_seed, train_steps,
+                                       optimizer=optimizer)
     return make_policy(params, state, cfg, quantize=model_id.endswith("-int8"))
 
 
-def _train(params, mstate, cfg, steps: int, seed: int):
+def _train(params, mstate, cfg, steps: int, seed: int, optimizer: str = "adamw"):
     """Run the production train step on synthetic batches until the eps
     head predicts a consistent noise field (loss ~ the 1.0 floor)."""
     import jax
     import jax.numpy as jnp
+    import optax
 
     from mla_tpu.diffusion import gaussian as gd
     from mla_tpu.parallel import make_mesh, shard_batch
@@ -100,7 +105,25 @@ def _train(params, mstate, cfg, steps: int, seed: int):
         learning_rate=1e-3, grad_accumulation_steps=1, repeated_diffusion_steps=1,
         enable_gradient_checkpointing=False, num_training_steps=steps,
     )
-    tx, _, _ = optim.make_optimizer(params, learning_rate=1e-3, num_training_steps=steps)
+    if optimizer == "adafactor":
+        # scale-ladder rung for the large models: fp32 Adam moments at
+        # mla-2b (~14.5 GB over 1.8B trainable params) do not fit the 16 GB
+        # dev chip beside the bf16 params; factored second moments do. Same
+        # masked layout as the production chain (optim.make_optimizer) so
+        # frozen leaves stay out of the clip norm and receive zero updates.
+        mask = optim.trainable_mask(params, tcfg.stage)
+        tx = optax.chain(
+            optax.masked(
+                optax.chain(
+                    optax.clip_by_global_norm(1.0),
+                    optax.adafactor(learning_rate=1e-3),
+                ),
+                mask,
+            ),
+            optim._zero_frozen(mask),
+        )
+    else:
+        tx, _, _ = optim.make_optimizer(params, learning_rate=1e-3, num_training_steps=steps)
     mesh = make_mesh()
     state = strategy.shard_train_state(strategy.init_train_state(params, tx, mstate), mesh)
     step_fn = strategy.make_train_step(cfg, tcfg, tx, sched, mesh)
@@ -148,6 +171,8 @@ def main(argv=None):
     p.add_argument("--trace", default=None, help="npz with images/point_clouds")
     p.add_argument("--train_steps", type=int, default=120,
                    help="diffusion-objective train steps before measuring")
+    p.add_argument("--optimizer", default="adamw", choices=["adamw", "adafactor"],
+                   help="adafactor fits the mla-2b rung on one 16 GB chip")
     p.add_argument("--compare_int8", action="store_true",
                    help="also measure W8A8-int8 vs bf16 serving fidelity "
                         "(same trained weights, same noise, DDIM-8)")
@@ -167,7 +192,8 @@ def main(argv=None):
 
     int8_deltas, int8_grip = [], []
     for wseed in args.weight_seeds:
-        tparams, tstate, tcfg = trained_model(args.model, wseed, args.train_steps)
+        tparams, tstate, tcfg = trained_model(args.model, wseed, args.train_steps,
+                                              optimizer=args.optimizer)
         policy = make_policy(tparams, tstate, tcfg,
                              quantize=args.model.endswith("-int8"))
         int8_policy = (
@@ -221,6 +247,7 @@ def main(argv=None):
     result = {
         "model": args.model, "scenarios": args.scenarios,
         "weight_seeds": args.weight_seeds, "trace": bool(args.trace),
+        "train_steps": args.train_steps, "optimizer": args.optimizer,
         "samplers": summary,
         "dpm4_vs_ddim8_rms_ratio": summary["dpm4"]["rel_rms_vs_ddim100"]
         / max(summary["ddim8"]["rel_rms_vs_ddim100"], 1e-12),
