@@ -175,7 +175,9 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
         policy.predict_action_diff(img, pc, "bench", input_ids=ids, seed=100 + i)
         e2e.append(time.perf_counter() - t0)
 
-    def timed_mode(B: int, fold_base: int, **diff_kwargs):
+    mode_min_s = {}  # mode name -> best (min) gross seconds, for the phase split
+
+    def timed_mode(B: int, fold_base: int, _min_key=None, **diff_kwargs):
         """chunks/s for one serving-mode graph, following the tunnel timing
         rules (CLAUDE.md): scalar-reduced jit, completion forced by
         device_get, one input perturbed per call, RTT netted out. Returns
@@ -210,6 +212,8 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
                 t0 = time.perf_counter()
                 run(noise)
                 ts.append(time.perf_counter() - t0)
+            if _min_key:
+                mode_min_s[_min_key] = float(np.min(ts))
             return B / max(float(np.percentile(ts, 50)) - rtt_s, 1e-6)
         except Exception:
             return None
@@ -249,7 +253,7 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
     # B=4 fits beside the 7B int8 weights on a 16GB chip (B=8 KV cache OOMs)
     batch_throughput = timed_mode(4, 100)
     # DPM-Solver++(2M) 4-eval mode — the qualified serving flagship
-    dpm4 = timed_mode(1, 200, sampler="dpm", num_dpm_steps=4)
+    dpm4 = timed_mode(1, 200, _min_key="dpm4", sampler="dpm", num_dpm_steps=4)
     # compound mode: batched serving WITH the DPM-4 sampler — both levers
     # multiply (weight reads amortize across B AND across half the evals)
     batch_dpm4 = timed_mode(4, 300, sampler="dpm", num_dpm_steps=4)
@@ -266,12 +270,15 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
     # net-latency difference divided by 4 is one suffix step, and what remains
     # of the DDIM-8 latency is prefill (+ the ~1.6 ms front-end, measured
     # separately in scripts/profile_serving.py)
+    # The split uses MIN times, not p50: host-side contention only ever ADDS
+    # latency, and a few ms of asymmetric noise between the two p50s once
+    # pushed the implied prefill below the int8 physical floor (mfu > 1).
     suffix_ms = prefill_ms = mfu_prefill = None
-    if dpm4:
-        p50_net = max(float(np.percentile(times, 50)) - rtt_s, 1e-6)
-        dpm4_net = 1.0 / dpm4
-        suffix_ms = max((p50_net - dpm4_net) / 4.0 * 1e3, 0.0)
-        prefill_ms = max(p50_net * 1e3 - 8.0 * suffix_ms, 0.0)
+    if dpm4 and mode_min_s.get("dpm4"):
+        ddim8_net = max(float(np.min(times)) - rtt_s, 1e-6)
+        dpm4_net = max(mode_min_s["dpm4"] - rtt_s, 1e-6)
+        suffix_ms = max((ddim8_net - dpm4_net) / 4.0 * 1e3, 0.0)
+        prefill_ms = max(ddim8_net * 1e3 - 8.0 * suffix_ms, 0.0)
         # int8 MXU utilization of the prefill phase: 2 * weight_params * P
         # MACs through the 394 TOPS v5e int8 path. Only the DECODE-LAYER
         # linears count (prefill runs compute_logits=False so lm_head never
@@ -286,6 +293,10 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
             prefix_tokens = (ids.shape[1] - 1) + cfg.fused_len
             flops = 2.0 * n_weights * prefix_tokens
             mfu_prefill = flops / (prefill_ms * 1e-3) / 394e12
+            if mfu_prefill > 1.0:
+                # physically impossible => the two timing passes were skewed
+                # (e.g. host contention); publish nothing rather than noise
+                mfu_prefill = None
 
     return {
         "p50_s": float(np.percentile(times, 50)),
