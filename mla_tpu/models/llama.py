@@ -132,6 +132,7 @@ def _layer_fn(
     use_flash: Optional[bool],
     cache_read_only: bool = False,
     inflight_mask: Optional[jnp.ndarray] = None,
+    scores_dtype: Optional[jnp.dtype] = None,
 ):
     """One decoder layer. cache_kv: (k_cache, v_cache) [B,Hkv,Smax,hd] or None.
     Returns (h, (new_k_cache, new_v_cache)).
@@ -241,7 +242,7 @@ def _layer_fn(
         mask = key_mask[:, None, None, :]  # [B,1,1,Sk]
     out = attn_ops.sdpa(
         q, k_all, v_all, mask=mask, causal=True, causal_offset=causal_offset,
-        use_flash=use_flash,
+        use_flash=use_flash, scores_dtype=scores_dtype,
     )
     out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
     h = h + nn.linear(lp["attn"]["o"], out)
@@ -271,6 +272,7 @@ def llama_forward(
     compute_logits: bool = True,
     scan_unroll: Optional[int] = None,
     cache_read_only: bool = False,
+    scores_dtype: Optional[jnp.dtype] = None,
 ) -> Dict[str, Any]:
     """Decoder forward from embeddings.
 
@@ -325,6 +327,7 @@ def llama_forward(
         use_flash=use_flash,
         cache_read_only=cache_read_only,
         inflight_mask=inflight_mask,
+        scores_dtype=scores_dtype,
     )
     if remat:
         layer = jax.checkpoint(layer, prevent_cse=False)

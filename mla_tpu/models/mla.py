@@ -24,6 +24,7 @@ TPU-first redesigns:
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass, field
 from functools import partial
 from pathlib import Path
@@ -38,6 +39,17 @@ from mla_tpu.models import embedders
 from mla_tpu.models import llama as llama_mod
 from mla_tpu.models import prismatic
 from mla_tpu.vla.action_tokenizer import ActionTokenizer
+
+# Serving-prefill score dtype (MLA_PREFILL_SCORES: 'bf16' | 'fp32').
+# bf16 halves the [B,H,S,S] score-tensor HBM traffic of the XLA attention
+# blocks — the dominant non-matmul cost of the S=534 prefill (13.1 -> 2.3 ms
+# over 32 layers at B=4, scripts/profile_prefill_ops.py on the real chip).
+# Softmax still reduces in fp32; training and the flash path are untouched.
+# Fidelity vs the fp32-scores path is qualified on the real trained model
+# alongside the sampler sweep (docs/kernels.md).
+PREFILL_SCORES_DTYPE = (
+    jnp.bfloat16 if os.environ.get("MLA_PREFILL_SCORES", "fp32") == "bf16" else None
+)
 
 # token-id constants of the Llama-2 + MLA vocabulary
 BOS_ID = 1
@@ -231,6 +243,7 @@ def prefill(
     cache_max_len: int,
     compute_logits: bool = True,
     use_flash: Optional[bool] = False,
+    scores_dtype: Optional[jnp.dtype] = "serving-default",
 ) -> Tuple[Dict[str, jnp.ndarray], Optional[jnp.ndarray]]:
     """Run the prefix through the decoder, returning (kv_cache, last_logits).
     The diffusion path skips the lm_head (157 GFLOP/step saved at 7B).
@@ -244,6 +257,8 @@ def prefill(
     mechanism that sank the fused W8A8 Pallas decode path (docs/kernels.md).
     Flash remains the default for training lengths (llama_forward auto)."""
     B, P, _ = prefix_embeds.shape
+    if scores_dtype == "serving-default":
+        scores_dtype = PREFILL_SCORES_DTYPE
     decoder = prismatic.get_decoder(cfg)
     cache = decoder.init_kv_cache(cfg.llama, B, cache_max_len)
     key_mask = (jnp.arange(cache_max_len) < P)[None, :].repeat(B, axis=0)
@@ -254,6 +269,7 @@ def prefill(
         # weight-slice copies (same finding as the decode path)
         scan_unroll=cfg.llama.num_layers,
         use_flash=use_flash,
+        scores_dtype=scores_dtype,
     )
     if not compute_logits:
         return out["kv_cache"], None
@@ -489,6 +505,7 @@ class MLAPolicy:
         num_ddim_steps: int = 8,
         cache_margin: int = 32,
         fuse_weights: bool = True,
+        prefill_scores_dtype: Any = "serving-default",
     ) -> None:
         if fuse_weights and cfg.llm_family == "llama":
             # serving-time qkv/gate-up fusion (fewer dispatches per layer)
@@ -500,6 +517,12 @@ class MLAPolicy:
         self.sched_full = gd.create_schedule("", diffusion_steps=100)
         self.sched_ddim = gd.create_schedule(f"ddim{num_ddim_steps}", diffusion_steps=100)
         self.cache_margin = cache_margin
+        # serving-prefill score dtype (None = fp32-exact); see
+        # PREFILL_SCORES_DTYPE for the bandwidth rationale + qualification
+        self.prefill_scores_dtype = (
+            PREFILL_SCORES_DTYPE if prefill_scores_dtype == "serving-default"
+            else prefill_scores_dtype
+        )
         self._jit_cache: Dict[Any, Any] = {}
 
     # --- norm stats -------------------------------------------------------
@@ -541,7 +564,8 @@ class MLAPolicy:
                 prefix = build_prefix_embeds(
                     params, state, self.cfg, ids_prefix, images, pc, with_uncond=use_cfg
                 )
-                kv, _ = prefill(params, self.cfg, prefix, cache_max, compute_logits=False)
+                kv, _ = prefill(params, self.cfg, prefix, cache_max, compute_logits=False,
+                                scores_dtype=self.prefill_scores_dtype)
                 if use_cfg:
                     proprio_x = jnp.concatenate([proprio, proprio], axis=0)
                     tail_x = jnp.concatenate([tail_ids, tail_ids], axis=0)
@@ -566,7 +590,8 @@ class MLAPolicy:
             @jax.jit
             def run(params, state, ids_prefix, images, pc, proprio):
                 prefix = build_prefix_embeds(params, state, self.cfg, ids_prefix, images, pc)
-                kv, last_logits = prefill(params, self.cfg, prefix, cache_max)
+                kv, last_logits = prefill(params, self.cfg, prefix, cache_max,
+                                           scores_dtype=self.prefill_scores_dtype)
                 return greedy_decode_actions(
                     params, self.cfg, kv, prefix.shape[1], last_logits, num_tokens
                 )

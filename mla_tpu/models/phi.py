@@ -104,7 +104,8 @@ def _apply_partial_rope(q, k, cos, sin, positions, rotary_dim):
     )
 
 
-def _layer_fn(lp, h, cache_kv, cfg: PhiConfig, cos, sin, positions, key_mask, cache_len, use_flash):
+def _layer_fn(lp, h, cache_kv, cfg: PhiConfig, cos, sin, positions, key_mask, cache_len, use_flash,
+              scores_dtype=None):
     B, S, D = h.shape
     H, hd = cfg.num_heads, cfg.head_dim
 
@@ -133,7 +134,8 @@ def _layer_fn(lp, h, cache_kv, cfg: PhiConfig, cos, sin, positions, key_mask, ca
             km = km[:, : k_all.shape[2]]
         mask = km[:, None, None, :]
     attn_out = attn_ops.sdpa(q, k_all, v_all, mask=mask, causal=True,
-                             causal_offset=causal_offset, use_flash=use_flash)
+                             causal_offset=causal_offset, use_flash=use_flash,
+                             scores_dtype=scores_dtype)
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, S, D)
     attn_out = nn.linear(lp["attn"]["o"], attn_out)
 
@@ -145,7 +147,7 @@ def _layer_fn(lp, h, cache_kv, cfg: PhiConfig, cos, sin, positions, key_mask, ca
 def phi_forward(
     params, cfg: PhiConfig, inputs_embeds, *, positions=None, key_mask=None,
     kv_cache=None, cache_len=0, remat=False, use_flash=None, compute_logits=True,
-    scan_unroll=None, cache_read_only=False,
+    scan_unroll=None, cache_read_only=False, scores_dtype=None,
 ):  # scan_unroll/cache_read_only accepted for decoder-interface parity
     # (scan-only here: read_only falls back to the write-then-attend path,
     # whose semantics are identical)
@@ -158,7 +160,8 @@ def phi_forward(
     cos, sin = jnp.asarray(cos), jnp.asarray(sin)
 
     layer = partial(_layer_fn, cfg=cfg, cos=cos, sin=sin, positions=positions,
-                    key_mask=key_mask, cache_len=cache_len, use_flash=use_flash)
+                    key_mask=key_mask, cache_len=cache_len, use_flash=use_flash,
+                    scores_dtype=scores_dtype)
     if remat:
         layer = jax.checkpoint(layer, prevent_cse=False)
 

@@ -104,10 +104,16 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    optimizer: str = "adamw",
 ):
     """Returns (tx, schedule_fn, mask_tree). Frozen leaves receive zero
     updates (and no decay), equivalent to requires_grad_=False + param
-    groups in the reference."""
+    groups in the reference.
+
+    optimizer='adafactor' swaps adamw for factored-second-moment Adafactor
+    inside the SAME masked layout — the single-chip rung for billion-param
+    models (fp32 Adam moments at mla-2b are ~15 GB and do not fit the 16 GB
+    dev chip beside the bf16 params; factored moments do)."""
     schedule = make_lr_schedule(lr_scheduler_type, learning_rate, num_training_steps, warmup_ratio)
     train_mask = trainable_mask(params, stage, extra_frozen)
     # decay only trainable leaves: masked-out leaves are MaskedNode inside
@@ -131,14 +137,21 @@ def make_optimizer(
     # zero-grad norm at compile time (an 83 s stall in the multichip
     # dryrun). _zero_frozen then kills the passed-through raw grads of the
     # frozen leaves.
+    if optimizer == "adafactor":
+        inner = optax.adafactor(learning_rate=schedule, weight_decay_rate=weight_decay or None,
+                                weight_decay_mask=decay_mask if weight_decay else None)
+    elif optimizer == "adamw":
+        inner = optax.adamw(
+            learning_rate=schedule, b1=b1, b2=b2, eps=eps,
+            weight_decay=weight_decay, mask=decay_mask,
+        )
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}")
     tx = optax.chain(
         optax.masked(
             optax.chain(
                 optax.clip_by_global_norm(max_grad_norm),
-                optax.adamw(
-                    learning_rate=schedule, b1=b1, b2=b2, eps=eps,
-                    weight_decay=weight_decay, mask=decay_mask,
-                ),
+                inner,
             ),
             train_mask,
         ),

@@ -93,7 +93,6 @@ def _train(params, mstate, cfg, steps: int, seed: int, optimizer: str = "adamw")
     head predicts a consistent noise field (loss ~ the 1.0 floor)."""
     import jax
     import jax.numpy as jnp
-    import optax
 
     from mla_tpu.diffusion import gaussian as gd
     from mla_tpu.parallel import make_mesh, shard_batch
@@ -105,25 +104,12 @@ def _train(params, mstate, cfg, steps: int, seed: int, optimizer: str = "adamw")
         learning_rate=1e-3, grad_accumulation_steps=1, repeated_diffusion_steps=1,
         enable_gradient_checkpointing=False, num_training_steps=steps,
     )
-    if optimizer == "adafactor":
-        # scale-ladder rung for the large models: fp32 Adam moments at
-        # mla-2b (~14.5 GB over 1.8B trainable params) do not fit the 16 GB
-        # dev chip beside the bf16 params; factored second moments do. Same
-        # masked layout as the production chain (optim.make_optimizer) so
-        # frozen leaves stay out of the clip norm and receive zero updates.
-        mask = optim.trainable_mask(params, tcfg.stage)
-        tx = optax.chain(
-            optax.masked(
-                optax.chain(
-                    optax.clip_by_global_norm(1.0),
-                    optax.adafactor(learning_rate=1e-3),
-                ),
-                mask,
-            ),
-            optim._zero_frozen(mask),
-        )
-    else:
-        tx, _, _ = optim.make_optimizer(params, learning_rate=1e-3, num_training_steps=steps)
+    # adafactor is the scale-ladder rung for the large models: fp32 Adam
+    # moments at mla-2b (~15 GB over 1.9B trainable params) do not fit the
+    # 16 GB dev chip beside the bf16 params; factored second moments do.
+    tx, _, _ = optim.make_optimizer(
+        params, learning_rate=1e-3, num_training_steps=steps, optimizer=optimizer,
+    )
     mesh = make_mesh()
     state = strategy.shard_train_state(strategy.init_train_state(params, tx, mstate), mesh)
     step_fn = strategy.make_train_step(cfg, tcfg, tx, sched, mesh)
@@ -176,7 +162,15 @@ def main(argv=None):
     p.add_argument("--compare_int8", action="store_true",
                    help="also measure W8A8-int8 vs bf16 serving fidelity "
                         "(same trained weights, same noise, DDIM-8)")
+    p.add_argument("--compare_bf16s", action="store_true",
+                   help="also measure bf16-prefill-scores vs fp32-scores "
+                        "serving fidelity (the prefill bandwidth lever, "
+                        "models/mla.py PREFILL_SCORES_DTYPE)")
     p.add_argument("--out", default=None, help="write full JSON here")
+    p.add_argument("--samplers", nargs="+", default=None,
+                   help="subset of candidate samplers to run (each distinct "
+                        "step count is a separate compile — the mla-2b "
+                        "scale-ladder rung runs just ddim8+dpm4)")
     args = p.parse_args(argv)
 
     candidates = [
@@ -187,10 +181,16 @@ def main(argv=None):
         ("dpm4", dict(sampler="dpm", num_dpm_steps=4)),
         ("dpm6", dict(sampler="dpm", num_dpm_steps=6)),
     ]
+    if args.samplers:
+        unknown = set(args.samplers) - {n for n, _ in candidates}
+        if unknown:
+            p.error(f"unknown samplers: {sorted(unknown)}")
+        candidates = [(n, kw) for n, kw in candidates if n in args.samplers]
     deltas = {name: [] for name, _ in candidates}
     grip = {name: [] for name, _ in candidates}
 
     int8_deltas, int8_grip = [], []
+    bf16s_deltas, bf16s_grip = [], []
     for wseed in args.weight_seeds:
         tparams, tstate, tcfg = trained_model(args.model, wseed, args.train_steps,
                                               optimizer=args.optimizer)
@@ -201,6 +201,13 @@ def main(argv=None):
             if args.compare_int8 and not args.model.endswith("-int8")
             else None
         )
+        bf16s_policy = None
+        if args.compare_bf16s:
+            import jax.numpy as jnp
+
+            bf16s_policy = make_policy(tparams, tstate, tcfg,
+                                       quantize=args.model.endswith("-int8"))
+            bf16s_policy.prefill_scores_dtype = jnp.bfloat16
         scenarios = make_scenarios(policy, args.scenarios, args.trace)
         for si, (img, pc, proprio) in enumerate(scenarios):
             noise = np.random.default_rng(9000 + si).normal(
@@ -235,6 +242,18 @@ def main(argv=None):
                     == unnormalize_actions(a16, stats)[:, -1]
                 ))
 
+            if bf16s_policy is not None:
+                # prefill-score-dtype fidelity: bf16 scores vs fp32 scores,
+                # same weights / observations / noise, reference-exact DDIM-8
+                a32 = policy.predict_action_diff(img, pc, num_ddim_steps=8, **common)
+                ab = bf16s_policy.predict_action_diff(img, pc, num_ddim_steps=8, **common)
+                s32 = max(float(np.sqrt(np.mean(a32[:, :-1] ** 2))), 1e-9)
+                bf16s_deltas.append(np.abs(ab[:, :-1] - a32[:, :-1]) / s32)
+                bf16s_grip.append(np.mean(
+                    unnormalize_actions(ab, stats)[:, -1]
+                    == unnormalize_actions(a32, stats)[:, -1]
+                ))
+
     summary = {}
     for name, _ in candidates:
         d = np.stack(deltas[name])
@@ -249,15 +268,24 @@ def main(argv=None):
         "weight_seeds": args.weight_seeds, "trace": bool(args.trace),
         "train_steps": args.train_steps, "optimizer": args.optimizer,
         "samplers": summary,
-        "dpm4_vs_ddim8_rms_ratio": summary["dpm4"]["rel_rms_vs_ddim100"]
-        / max(summary["ddim8"]["rel_rms_vs_ddim100"], 1e-12),
     }
+    if "dpm4" in summary and "ddim8" in summary:
+        result["dpm4_vs_ddim8_rms_ratio"] = summary["dpm4"]["rel_rms_vs_ddim100"] / max(
+            summary["ddim8"]["rel_rms_vs_ddim100"], 1e-12
+        )
     if int8_deltas:
         d = np.stack(int8_deltas)
         result["int8_vs_bf16"] = {
             "rel_rms": float(np.sqrt(np.mean(d**2))),
             "rel_max": float(d.max()),
             "gripper_agree": float(np.mean(int8_grip)),
+        }
+    if bf16s_deltas:
+        d = np.stack(bf16s_deltas)
+        result["bf16_scores_vs_fp32"] = {
+            "rel_rms": float(np.sqrt(np.mean(d**2))),
+            "rel_max": float(d.max()),
+            "gripper_agree": float(np.mean(bf16s_grip)),
         }
     print(json.dumps(result))
     if args.out:

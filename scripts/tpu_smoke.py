@@ -24,6 +24,9 @@ def main():
     p.add_argument("--model", default="mla-2b")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--optimizer", default="adamw", choices=["adamw", "adafactor"],
+                   help="adafactor (factored second moments) fits mla-2b "
+                        "training on the single 16 GB dev chip")
     args = p.parse_args()
 
     import jax
@@ -46,7 +49,8 @@ def main():
         learning_rate=1e-5, grad_accumulation_steps=1, repeated_diffusion_steps=1,
         enable_gradient_checkpointing=True, num_training_steps=10,
     )
-    tx, _, _ = optim.make_optimizer(params, learning_rate=1e-5, num_training_steps=10)
+    tx, _, _ = optim.make_optimizer(params, learning_rate=1e-5, num_training_steps=10,
+                                    optimizer=args.optimizer)
     state = strategy.init_train_state(params, tx, mstate)
     del params, mstate
     sched = gd.create_schedule("", diffusion_steps=100)
@@ -94,7 +98,7 @@ def main():
             "train_tokens_per_sec": round(toks / p50, 1),
             "train_mfu": round(mfu, 4) if mfu is not None else None,
             "model": args.model, "batch": args.batch, "seq": seq,
-            "backend": jax.default_backend(),
+            "optimizer": args.optimizer, "backend": jax.default_backend(),
         }))
 
 

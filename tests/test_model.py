@@ -185,6 +185,33 @@ def test_prefix_cache_diffusion_is_exact(diff_model):
     np.testing.assert_allclose(eps_cached, eps_full, atol=2e-4)
 
 
+def test_prefill_bf16_scores_kv_fidelity(diff_model):
+    """The serving-prefill bandwidth lever (bf16 score tensors, softmax in
+    fp32 — mla.PREFILL_SCORES_DTYPE) must leave the prefilled KV cache and
+    the eps prediction within bf16 rounding of the fp32-scores path. The
+    KV comparison is stable (no ODE amplification); the full chunk-level
+    fidelity is qualified on the real trained model by
+    scripts/qualify_samplers.py --compare_bf16s."""
+    cfg, params, state = diff_model
+    batch = tiny_batch(cfg, B=1, L=14, training=False)
+    ids = np.asarray(batch["input_ids"])
+    splice = int(np.asarray(batch["splice_idx"])[0])
+    prefix_ids = jnp.asarray(ids[:, :splice])
+    prefix = mla_mod.build_prefix_embeds(
+        params, state, cfg, prefix_ids, batch["images"], batch.get("point_cloud")
+    )
+    cache_max = prefix.shape[1] + 2 + cfg.action_horizon + 1 + 8
+    kv32, _ = mla_mod.prefill(params, cfg, prefix, cache_max, compute_logits=False,
+                              scores_dtype=None)
+    kvb, _ = mla_mod.prefill(params, cfg, prefix, cache_max, compute_logits=False,
+                             scores_dtype=jnp.bfloat16)
+    for name in ("k", "v"):
+        a = np.asarray(kv32[name], np.float32)
+        b = np.asarray(kvb[name], np.float32)
+        rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-9)
+        assert rel < 0.02, (name, rel)
+
+
 def test_policy_predict_roundtrip(diff_model):
     """End-to-end MLAPolicy.predict_action_diff + _ar on synthetic inputs."""
     cfg, params, state = diff_model

@@ -200,6 +200,28 @@ def test_causal_sdpa_matches_torch():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_sdpa_bf16_scores_close_to_fp32():
+    """The serving-prefill bandwidth lever (scores_dtype=bf16, softmax still
+    fp32) must track the fp32-scores path closely on bf16 inputs and respect
+    padding masks; default scores_dtype=None must stay bit-identical to the
+    pre-lever path (training/goldens)."""
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(rng.normal(size=(2, 4, 16, 32)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(2, 4, 16, 32)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(2, 4, 16, 32)), jnp.bfloat16)
+    mask = np.ones((2, 16), dtype=bool)
+    mask[:, -3:] = False
+    m = jnp.asarray(mask)[:, None, None, :]
+    ref = np.asarray(attention.sdpa_reference(q, k, v, mask=m), np.float32)
+    got = np.asarray(
+        attention.sdpa_reference(q, k, v, mask=m, scores_dtype=jnp.bfloat16), np.float32
+    )
+    rel = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
+    assert rel < 0.03, rel
+    # masked-out queries attending over an all-masked row must stay finite
+    assert np.isfinite(got).all()
+
+
 def test_sdpa_with_kv_cache_offset():
     """Decoding one token with cache offset == full-sequence last row."""
     rng = np.random.default_rng(10)
