@@ -37,6 +37,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mla_tpu_jax_cache_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+# Published serving configuration: bf16 prefill score tensors (softmax in
+# fp32). Qualified vs the fp32-scores path on the real trained model up the
+# tiny->2b scale ladder (chunk rel-rms 2e-4, gripper agreement 1.0 —
+# qualify_samplers --compare_bf16s) and a measured net win on the chip:
+# prefill 25.5 -> 23.1 ms, DPM-4 14.32 -> 14.70 chunks/s single-stream,
+# batch-4 DPM-4 18.48 -> 21.25 (docs/kernels.md). Override with
+# MLA_PREFILL_SCORES=fp32 for the bit-exact-prefill configuration.
+os.environ.setdefault("MLA_PREFILL_SCORES", "bf16")
+
 BASELINE_A100_CHUNKS_PER_SEC = 2.3  # analytic estimate, see module docstring
 
 
@@ -347,6 +356,7 @@ def _emit(result, model_used, backend, extra=None):
         "p90_ms": round(result["p90_s"] * 1e3, 2),
         "model": model_used,
         "backend": backend,
+        "prefill_scores": os.environ.get("MLA_PREFILL_SCORES", "fp32"),
         "ddim_steps": 8,
         "ddim8_chunks_per_sec": round(ddim8_chunks_per_sec, 3),
         "transfer_ms": round(result.get("transfer_ms", 0.0), 2),

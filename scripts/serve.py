@@ -39,6 +39,15 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# Published serving configuration (matches bench.py): bf16 prefill score
+# tensors, qualified up the tiny->2b scale ladder (chunk rel-rms 2e-4 vs
+# fp32 scores, gripper agreement 1.0) for a measured net serving win
+# (batch-4 DPM-4 18.5 -> 21.3 chunks/s; docs/kernels.md). Override with
+# MLA_PREFILL_SCORES=fp32. Must be set before mla_tpu.models.mla imports.
+import os  # noqa: E402
+
+os.environ.setdefault("MLA_PREFILL_SCORES", "bf16")
+
 from mla_tpu.serving import QueueFull  # noqa: E402
 
 
