@@ -21,6 +21,11 @@ if "--xla_force_host_platform_device_count" not in _flags:
 # repo root importable without installation
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Tests exercise the fp32-exact library default; importing bench.py (which
+# defaults the PUBLISHED serving config MLA_PREFILL_SCORES=bf16) inside a
+# test must not flip numerics for anything else in this process.
+os.environ["MLA_PREFILL_SCORES"] = "fp32"
+
 # persistent compilation cache: re-runs skip XLA compiles
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mla_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
