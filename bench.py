@@ -304,8 +304,11 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
             mfu_prefill = flops / (prefill_ms * 1e-3) / 394e12
             if mfu_prefill > 1.0:
                 # physically impossible => the two timing passes were skewed
-                # (e.g. host contention); publish nothing rather than noise
-                mfu_prefill = None
+                # (e.g. host contention). The suffix/prefill split is derived
+                # from the SAME two skewed inputs, so publish none of the
+                # three rather than an impossible MFU next to the noise that
+                # produced it.
+                suffix_ms = prefill_ms = mfu_prefill = None
 
     return {
         "p50_s": float(np.percentile(times, 50)),

@@ -47,9 +47,19 @@ from mla_tpu.vla.action_tokenizer import ActionTokenizer
 # Softmax still reduces in fp32; training and the flash path are untouched.
 # Fidelity vs the fp32-scores path is qualified on the real trained model
 # alongside the sampler sweep (docs/kernels.md).
-PREFILL_SCORES_DTYPE = (
-    jnp.bfloat16 if os.environ.get("MLA_PREFILL_SCORES", "fp32") == "bf16" else None
-)
+#
+# The env var is read LAZILY, at MLAPolicy construction — never at import
+# time and never by bare `prefill()` calls, whose library default stays
+# fp32-exact (the prefix-cache exactness and golden-parity contracts).
+# Serving entry points (bench.py, scripts/serve.py) setdefault bf16 before
+# building their policy; merely importing them cannot flip anyone's
+# numerics.
+def serving_scores_dtype_from_env() -> Optional[jnp.dtype]:
+    return (
+        jnp.bfloat16
+        if os.environ.get("MLA_PREFILL_SCORES", "fp32") == "bf16"
+        else None
+    )
 
 # token-id constants of the Llama-2 + MLA vocabulary
 BOS_ID = 1
@@ -243,7 +253,7 @@ def prefill(
     cache_max_len: int,
     compute_logits: bool = True,
     use_flash: Optional[bool] = False,
-    scores_dtype: Optional[jnp.dtype] = "serving-default",
+    scores_dtype: Optional[jnp.dtype] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], Optional[jnp.ndarray]]:
     """Run the prefix through the decoder, returning (kv_cache, last_logits).
     The diffusion path skips the lm_head (157 GFLOP/step saved at 7B).
@@ -257,8 +267,6 @@ def prefill(
     mechanism that sank the fused W8A8 Pallas decode path (docs/kernels.md).
     Flash remains the default for training lengths (llama_forward auto)."""
     B, P, _ = prefix_embeds.shape
-    if scores_dtype == "serving-default":
-        scores_dtype = PREFILL_SCORES_DTYPE
     decoder = prismatic.get_decoder(cfg)
     cache = decoder.init_kv_cache(cfg.llama, B, cache_max_len)
     key_mask = (jnp.arange(cache_max_len) < P)[None, :].repeat(B, axis=0)
@@ -517,10 +525,14 @@ class MLAPolicy:
         self.sched_full = gd.create_schedule("", diffusion_steps=100)
         self.sched_ddim = gd.create_schedule(f"ddim{num_ddim_steps}", diffusion_steps=100)
         self.cache_margin = cache_margin
-        # serving-prefill score dtype (None = fp32-exact); see
-        # PREFILL_SCORES_DTYPE for the bandwidth rationale + qualification
+        # serving-prefill score dtype (None = fp32-exact); env resolved HERE,
+        # at construction — see serving_scores_dtype_from_env for the
+        # bandwidth rationale + qualification. Jitted graphs are cached per
+        # dtype (part of the _jit_cache signature), so flipping the attribute
+        # on a warmed policy recompiles instead of serving a stale graph.
         self.prefill_scores_dtype = (
-            PREFILL_SCORES_DTYPE if prefill_scores_dtype == "serving-default"
+            serving_scores_dtype_from_env()
+            if prefill_scores_dtype == "serving-default"
             else prefill_scores_dtype
         )
         self._jit_cache: Dict[Any, Any] = {}
@@ -546,7 +558,8 @@ class MLAPolicy:
         num_ddim_steps: Optional[int] = None,
     ):
         sig = ("diff", prefix_len, tail_len, use_ddpm, cfg_scale, sampler,
-               num_dpm_steps, num_ddim_steps)
+               num_dpm_steps, num_ddim_steps, jnp.dtype(self.prefill_scores_dtype).name
+               if self.prefill_scores_dtype is not None else None)
         if sig not in self._jit_cache:
             # prefix embeds = text(prefix_len) + fused block
             embed_len = prefix_len + self.cfg.fused_len
@@ -583,7 +596,8 @@ class MLAPolicy:
         return self._jit_cache[sig]
 
     def _ar_fn(self, prefix_len: int, num_tokens: int):
-        sig = ("ar", prefix_len, num_tokens)
+        sig = ("ar", prefix_len, num_tokens, jnp.dtype(self.prefill_scores_dtype).name
+               if self.prefill_scores_dtype is not None else None)
         if sig not in self._jit_cache:
             cache_max = prefix_len + self.cfg.fused_len + num_tokens + self.cache_margin
 
@@ -853,11 +867,15 @@ class MLAPolicy:
         unnorm_key: Optional[str] = None,
         num_ddim_steps: int = 8,
         seed: int = 0,
+        sampler: str = "ddim",
+        num_dpm_steps: int = 4,
     ) -> Dict[str, Any]:
         """Run BOTH heads (reference predict_action_diff_ar,
         model_mla.py:778-991): autoregressive token decode for a fast/
         confident single action + diffusion denoise for the smooth chunk,
-        returning per-phase wall-clock timings like the reference."""
+        returning per-phase wall-clock timings like the reference. The
+        diffusion chunk honors the same sampler selection as
+        predict_action_diff (sampler='dpm' for the DPM-4 serving mode)."""
         import time as _time
 
         ar_ids = build_prompt_ids(self.tokenizer, instruction, mode="ar")
@@ -872,6 +890,7 @@ class MLAPolicy:
         diff_actions = self.predict_action_diff(
             front_image, pointcloud, instruction, cur_robot_state=cur_robot_state,
             unnorm_key=unnorm_key, num_ddim_steps=num_ddim_steps, seed=seed,
+            sampler=sampler, num_dpm_steps=num_dpm_steps,
         )
         t_diff = _time.perf_counter() - t0
         return {

@@ -20,6 +20,30 @@ from mla_tpu.utils.overwatch import initialize_overwatch
 
 overwatch = initialize_overwatch(__name__)
 
+# v5e bf16 MXU peak, per chip — the denominator of every published training
+# MFU number (scripts/train.py, scripts/tpu_smoke.py, bench.py training block)
+TPU_V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def decoder_flops_per_token(llm_params: Dict[str, Any], use_diff: bool) -> float:
+    """Model-FLOPs per decoder token, 6N PaLM MFU convention (remat recompute
+    not counted). N counts only what executes PER TOKEN: the llm_backbone
+    minus the embed table (a lookup, not a matmul) and minus the lm_head in
+    diffusion mode (mla_train_loss never projects logits there and the head
+    is frozen). Front-end tokenizers run once per frame, not per token —
+    leaving them out makes published MFU a slight UNDERcount, never an
+    overcount. Single source of truth for every published training MFU."""
+    import jax
+
+    skip = {"embed"} | ({"lm_head"} if use_diff else set())
+    n_params = sum(
+        int(l.size)
+        for k, sub in llm_params.items()
+        if k not in skip
+        for l in jax.tree_util.tree_leaves(sub)
+    )
+    return 6.0 * n_params
+
 
 class Tracker(Protocol):
     def write_hyperparameters(self, hparams: Dict[str, Any]) -> None: ...

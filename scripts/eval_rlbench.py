@@ -129,11 +129,17 @@ def save_episode_media(out_root: Path, task: str, episode: int, frames, depths,
             if logger:
                 logger.warning(f"env recorder failed ({e}); writing collected frames")
     if not used_env:
-        if _write_video(frames, video_path) and logger:
-            logger.info(f"video saved to {video_path}")
-        _write_frames(frames, image_dir)
-        if depths:
-            _write_depths(depths, depth_dir)
+        # media dumps are telemetry — a missing codec/PIL or a full disk must
+        # never abort the eval sweep and discard completed rollouts
+        try:
+            if _write_video(frames, video_path) and logger:
+                logger.info(f"video saved to {video_path}")
+            _write_frames(frames, image_dir)
+            if depths:
+                _write_depths(depths, depth_dir)
+        except Exception as e:
+            if logger:
+                logger.warning(f"episode media dump failed ({e}); continuing eval")
 
 
 def load_policy(args):
@@ -192,6 +198,8 @@ def run_simulator_eval(args, logger):
                             img, pc, obs["instruction"],
                             cur_robot_state=obs.get("robot_state"),
                             unnorm_key=args.unnorm_key,
+                            sampler=args.sampler,
+                            num_dpm_steps=args.num_dpm_steps,
                         )
                         action_chunk = out["actions"]
                         ar_time_sum += out["timings"][0]

@@ -66,7 +66,12 @@ def trained_model(model_id: str, weight_seed: int, train_steps: int = 0,
     return params, state, cfg
 
 
-def make_policy(params, state, cfg, quantize: bool = False):
+def make_policy(params, state, cfg, quantize: bool = False, scores_dtype=None):
+    """Qualification policies PIN the prefill-scores dtype (default
+    fp32-exact) rather than inheriting the ambient MLA_PREFILL_SCORES env —
+    otherwise running this under the published serving env would compare
+    bf16 against itself and vacuously 'qualify' the exact lever the
+    --compare_bf16s flag exists to measure."""
     from mla_tpu.models.mla import MLAPolicy
     from mla_tpu.vla.tokenizer import SimpleTokenizer
 
@@ -78,7 +83,8 @@ def make_policy(params, state, cfg, quantize: bool = False):
         "action": {"q01": [-1.0] * cfg.action_dim, "q99": [1.0] * cfg.action_dim},
         "proprio": {"q01": [-1.0] * cfg.action_dim, "q99": [1.0] * cfg.action_dim},
     }}
-    return MLAPolicy(params, state, cfg, tokenizer=SimpleTokenizer(), norm_stats=stats)
+    return MLAPolicy(params, state, cfg, tokenizer=SimpleTokenizer(),
+                     norm_stats=stats, prefill_scores_dtype=scores_dtype)
 
 
 def build_policy(model_id: str, weight_seed: int, train_steps: int = 0,
@@ -165,7 +171,7 @@ def main(argv=None):
     p.add_argument("--compare_bf16s", action="store_true",
                    help="also measure bf16-prefill-scores vs fp32-scores "
                         "serving fidelity (the prefill bandwidth lever, "
-                        "models/mla.py PREFILL_SCORES_DTYPE)")
+                        "models/mla.py serving_scores_dtype_from_env)")
     p.add_argument("--out", default=None, help="write full JSON here")
     p.add_argument("--samplers", nargs="+", default=None,
                    help="subset of candidate samplers to run (each distinct "
@@ -206,8 +212,8 @@ def main(argv=None):
             import jax.numpy as jnp
 
             bf16s_policy = make_policy(tparams, tstate, tcfg,
-                                       quantize=args.model.endswith("-int8"))
-            bf16s_policy.prefill_scores_dtype = jnp.bfloat16
+                                       quantize=args.model.endswith("-int8"),
+                                       scores_dtype=jnp.bfloat16)
         scenarios = make_scenarios(policy, args.scenarios, args.trace)
         for si, (img, pc, proprio) in enumerate(scenarios):
             noise = np.random.default_rng(9000 + si).normal(

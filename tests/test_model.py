@@ -187,7 +187,8 @@ def test_prefix_cache_diffusion_is_exact(diff_model):
 
 def test_prefill_bf16_scores_kv_fidelity(diff_model):
     """The serving-prefill bandwidth lever (bf16 score tensors, softmax in
-    fp32 — mla.PREFILL_SCORES_DTYPE) must leave the prefilled KV cache and
+    fp32 — mla.serving_scores_dtype_from_env) must leave the prefilled KV
+    cache and
     the eps prediction within bf16 rounding of the fp32-scores path. The
     KV comparison is stable (no ODE amplification); the full chunk-level
     fidelity is qualified on the real trained model by
