@@ -596,8 +596,14 @@ class MLAPolicy:
         return self._jit_cache[sig]
 
     def _ar_fn(self, prefix_len: int, num_tokens: int):
-        sig = ("ar", prefix_len, num_tokens, jnp.dtype(self.prefill_scores_dtype).name
-               if self.prefill_scores_dtype is not None else None)
+        # The AR head's prefill is PINNED to fp32-exact scores regardless of
+        # prefill_scores_dtype: the bf16-scores bandwidth lever was motivated
+        # and qualified (qualify_samplers --compare_bf16s) for the DIFFUSION
+        # prefill only, where the continuous chunk absorbs a 2e-4 rel-rms.
+        # Greedy argmax over logits is discrete — a near-tie can flip a token
+        # — and the 'AR ids bit-exact' golden runs under fp32. The prefill is
+        # ~2 ms of a ~115 ms AR call, so the lever buys ~2% here anyway.
+        sig = ("ar", prefix_len, num_tokens)
         if sig not in self._jit_cache:
             cache_max = prefix_len + self.cfg.fused_len + num_tokens + self.cache_margin
 
@@ -605,7 +611,7 @@ class MLAPolicy:
             def run(params, state, ids_prefix, images, pc, proprio):
                 prefix = build_prefix_embeds(params, state, self.cfg, ids_prefix, images, pc)
                 kv, last_logits = prefill(params, self.cfg, prefix, cache_max,
-                                           scores_dtype=self.prefill_scores_dtype)
+                                           scores_dtype=None)
                 return greedy_decode_actions(
                     params, self.cfg, kv, prefix.shape[1], last_logits, num_tokens
                 )

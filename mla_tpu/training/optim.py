@@ -43,6 +43,12 @@ STAGE_FROZEN_MODULES = {
     "pretrain": (),
     "finetune": ("vision_tower_2d", "vision_tower_3d"),
     "post-training": ("vision_tower_2d", "vision_tower_3d"),
+    # VLM-pretraining stages (reference run_training,
+    # base_strategy_mla.py:124-247; LLaVA-lineage freeze recipe):
+    # align = projector warmup (vision + LLM frozen, projectors train),
+    # vlm-finetune = instruct tuning with the vision towers frozen
+    "vlm-align": ("vision_tower_2d", "vision_tower_3d", "llm_backbone"),
+    "vlm-finetune": ("vision_tower_2d", "vision_tower_3d"),
 }
 
 
@@ -138,8 +144,20 @@ def make_optimizer(
     # dryrun). _zero_frozen then kills the passed-through raw grads of the
     # frozen leaves.
     if optimizer == "adafactor":
-        inner = optax.adafactor(learning_rate=schedule, weight_decay_rate=weight_decay or None,
-                                weight_decay_mask=decay_mask if weight_decay else None)
+        if weight_decay:
+            # optax.adafactor applies weight_decay_rate AFTER its internal
+            # lr scaling — a constant, schedule-independent per-step shrink
+            # (wd=0.01 decays params 1%/step at ANY lr), NOT the lr-scaled
+            # decoupled decay the same argument means under adamw. Refuse
+            # rather than silently change semantics between the two.
+            raise ValueError(
+                "weight_decay with optimizer='adafactor' is not supported: "
+                "optax.adafactor's weight_decay_rate is a constant per-step "
+                "shrink, not adamw's lr-scaled decoupled decay. Use adamw, "
+                "or set weight_decay=0 and add schedule-scaled decay "
+                "explicitly."
+            )
+        inner = optax.adafactor(learning_rate=schedule)
     elif optimizer == "adamw":
         inner = optax.adamw(
             learning_rate=schedule, b1=b1, b2=b2, eps=eps,

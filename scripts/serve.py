@@ -43,7 +43,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # tensors, qualified up the tiny->2b scale ladder (chunk rel-rms 2e-4 vs
 # fp32 scores, gripper agreement 1.0) for a measured net serving win
 # (batch-4 DPM-4 18.5 -> 21.3 chunks/s; docs/kernels.md). Override with
-# MLA_PREFILL_SCORES=fp32. Must be set before mla_tpu.models.mla imports.
+# MLA_PREFILL_SCORES=fp32. The env var is read lazily at MLAPolicy
+# construction (models/mla.py serving_scores_dtype_from_env), so it must be
+# set before the policy is built — import order does not matter.
 import os  # noqa: E402
 
 os.environ.setdefault("MLA_PREFILL_SCORES", "bf16")

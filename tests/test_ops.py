@@ -220,6 +220,27 @@ def test_sdpa_bf16_scores_close_to_fp32():
     assert rel < 0.03, rel
     # masked-out queries attending over an all-masked row must stay finite
     assert np.isfinite(got).all()
+    # the default (scores_dtype=None) branch must stay BIT-identical to the
+    # pre-lever computation (training/golden contract) — spell that old code
+    # path out and compare exactly, so a regression in the refactored default
+    # branch (e.g. a stray low-precision round-trip) is caught here
+    import math
+
+    from mla_tpu.ops.attention import NEG_INF, make_causal_mask
+
+    hd = q.shape[-1]
+    old_scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(hd)
+    cm = make_causal_mask(q.shape[2], k.shape[2], 0)
+    old_scores = jnp.where(cm[None, None], old_scores, NEG_INF)
+    old_scores = jnp.where(m, old_scores, NEG_INF)
+    old_probs = jax.nn.softmax(old_scores, axis=-1).astype(v.dtype)
+    old = jnp.einsum("bhqk,bhkd->bhqd", old_probs, v)
+    np.testing.assert_array_equal(
+        np.asarray(attention.sdpa_reference(q, k, v, mask=m), np.float32),
+        np.asarray(old, np.float32),
+    )
 
 
 def test_sdpa_with_kv_cache_offset():

@@ -76,6 +76,19 @@ def test_adafactor_masked_layout():
     assert n_state < 0.1 * 512 * 2048, n_state
 
 
+def test_adafactor_rejects_weight_decay():
+    """optax.adafactor's weight_decay_rate is a constant per-step shrink,
+    NOT adamw's lr-scaled decoupled decay — make_optimizer must refuse
+    rather than silently change semantics between the two optimizers."""
+    cfg = tiny_config()
+    params, _ = tiny_model(cfg)
+    with pytest.raises(ValueError, match="adafactor"):
+        optim.make_optimizer(
+            params, num_training_steps=10, optimizer="adafactor",
+            weight_decay=0.01,
+        )
+
+
 def test_lr_schedules():
     s = optim.make_lr_schedule("linear-warmup+cosine-decay", 1e-4, 100, warmup_ratio=0.1)
     assert float(s(0)) < 1e-5
