@@ -38,6 +38,17 @@ def parse_args(argv=None):
     p.add_argument("--dp", type=int, default=1, help="data-parallel (DCN) mesh axis")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh axis")
     p.add_argument("--hf_llama_dir", default=None, help="HF Llama base weights to initialize from")
+    p.add_argument("--vlm_stage", default=None, choices=["align", "finetune"],
+                   help="run the VLM-pretraining loop (reference run_training, "
+                        "base_strategy_mla.py:124-247) instead of the VLA loop: "
+                        "align = projector warmup, finetune = instruct tuning")
+    p.add_argument("--vlm_dataset", default="llava-v15",
+                   help="conf/datasets.py dataset id for --vlm_stage")
+    p.add_argument("--vlm_max_length", type=int, default=512,
+                   help="pad/truncate length for the LM collator (--vlm_stage)")
+    p.add_argument("--tokenizer", default=None,
+                   help="HF tokenizer path/id for --vlm_stage (default: the "
+                        "deterministic SimpleTokenizer — data-free smokes)")
     args, unknown = p.parse_known_args(argv)
 
     # --vla.foo bar / --foo bar overrides onto VLATrainConfig
@@ -81,8 +92,185 @@ def _coerce(cfg_cls, overrides):
     return out
 
 
+def train_vlm(args, overrides):
+    """VLM-pretraining loop — parity target: reference `run_training`
+    (training/strategies/base_strategy_mla.py:124-247): map-style LLaVA-era
+    data (conf/datasets.py stage components) through SplitModalitySampler +
+    PaddedCollatorForLanguageModeling into the SAME jitted train step the
+    VLA path uses, with the AR CE objective (use_diff=False). Multimodal
+    batches splice the image token block right after BOS (the reference's
+    'insert after the BOS token' layout, via build_splice_map with d=0);
+    language-only batches take vlm_forward's unimodal branch (the
+    reference's empty-multimodal_indices branch, prismatic.py:911-924).
+
+    Dummy-data mode (no --data_root_dir) synthesizes LLaVA-schema examples
+    so the loop is smoke-testable end-to-end without the LLaVA downloads.
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from mla_tpu.conf.datasets import get_dataset_config
+    from mla_tpu.conf.models import get_model_config
+    from mla_tpu.diffusion import gaussian as gd
+    from mla_tpu.models import prismatic
+    from mla_tpu.parallel import make_mesh, shard_batch
+    from mla_tpu.training import checkpointing as ckpt_mod
+    from mla_tpu.training import metrics as metrics_mod
+    from mla_tpu.training import optim, strategy
+    from mla_tpu.utils import initialize_overwatch, set_global_seed
+    from mla_tpu.vla.sampler import SplitModalitySampler
+    from mla_tpu.vla.tokenizer import SimpleTokenizer, load_llama_tokenizer
+    from mla_tpu.vla.vlm_datasets import get_vlm_dataset_and_collator
+
+    overwatch = initialize_overwatch("train-vlm")
+    stage = f"vlm-{args.vlm_stage}"
+    model_id = args.model or "mla-7b"
+
+    def g(k, d):
+        if k not in overrides:
+            return d
+        v = overrides[k]
+        if isinstance(d, bool):
+            return str(v).lower() in ("1", "true", "yes")
+        return type(d)(v)
+    seed = g("seed", 7)
+    epochs = g("epochs", 1)
+    max_steps = g("max_steps", 0) or None
+    global_batch_size = g("global_batch_size", 4)
+    learning_rate = g("learning_rate", 1e-3 if args.vlm_stage == "align" else 2e-5)
+    run_root_dir = g("run_root_dir", "runs")
+
+    # vision-language only: no pointcloud / diffusion / contrastive heads
+    cfg = get_model_config(
+        model_id, use_diff=False, use_pointcloud=False, use_tactile=False,
+        use_contrastive=False, use_generation=False,
+    )
+    rng = set_global_seed(seed)
+    init_key, rng = jax.random.split(rng)
+    params, mstate = prismatic.mla_model_init(init_key, cfg)
+    if args.hf_llama_dir:
+        from mla_tpu.models import load as load_mod
+
+        params = load_mod.load_base_llm(args.hf_llama_dir, cfg, params)
+
+    tokenizer = (
+        load_llama_tokenizer(args.tokenizer) if args.tokenizer else SimpleTokenizer()
+    )
+    ds, collator = get_vlm_dataset_and_collator(
+        stage=args.vlm_stage,
+        dataset_cfg=get_dataset_config(args.vlm_dataset),
+        data_root_dir=args.data_root_dir,
+        tokenizer=tokenizer,
+        image_size=cfg.vision.image_size,
+        max_length=args.vlm_max_length,
+    )
+    lengths = (
+        ds.get_modality_lengths(n_image_patches=cfg.fused_len)
+        if args.vlm_stage == "align" else ds.get_modality_lengths()
+    )
+    sampler = SplitModalitySampler(
+        lengths, global_batch_size=global_batch_size,
+        num_replicas=jax.process_count(), rank=jax.process_index(),
+        seed=seed, drop_last=False,
+    )
+    per_host = global_batch_size // jax.process_count()
+    steps_per_epoch = max(len(sampler) // per_host, 1)
+    num_steps = max_steps or epochs * steps_per_epoch
+    overwatch.info(
+        f"VLM {stage} :: model={model_id} dataset={args.vlm_dataset} "
+        f"examples={len(ds)} gbs={global_batch_size} steps={num_steps}"
+    )
+
+    tcfg = strategy.TrainConfig(
+        learning_rate=learning_rate, grad_accumulation_steps=1,
+        repeated_diffusion_steps=1, stage=stage,
+        num_training_steps=num_steps,
+        enable_gradient_checkpointing=g("enable_gradient_checkpointing", True),
+    )
+    tx, schedule, _ = optim.make_optimizer(
+        params, learning_rate=learning_rate, num_training_steps=num_steps,
+        stage=stage,
+    )
+    sched = gd.create_schedule("", diffusion_steps=100)
+    mesh = make_mesh(dp=args.dp, tp=args.tp,
+                     fsdp=len(jax.devices()) // (args.dp * args.tp))
+    state = strategy.shard_train_state(
+        strategy.init_train_state(params, tx, mstate), mesh, use_tp=args.tp > 1
+    )
+    del params, mstate
+    step_fn = strategy.make_train_step(cfg, tcfg, tx, sched, mesh)
+
+    run_id = g("run_id", f"vlm-{args.vlm_stage}+{args.vlm_dataset}+x{seed}")
+    run_dir = Path(run_root_dir) / run_id
+    metrics = metrics_mod.VLAMetrics(
+        g("trackers", "jsonl").split(","), run_id, run_dir,
+        hparams={"stage": stage, "dataset": args.vlm_dataset,
+                 "global_batch_size": global_batch_size, "lr": learning_rate},
+        flops_per_token=metrics_mod.decoder_flops_per_token(
+            state["params"]["llm_backbone"], use_diff=False
+        ),
+        peak_flops=(metrics_mod.TPU_V5E_BF16_PEAK_FLOPS * jax.device_count()
+                    if jax.default_backend() == "tpu" else None),
+    )
+
+    def model_batch(cb):
+        """Collator output -> vlm_forward batch. SplitModalitySampler batches
+        are modality-homogeneous: all-multimodal or all-unimodal."""
+        n_mm = len(cb["multimodal_indices"])
+        B = cb["input_ids"].shape[0]
+        assert n_mm in (0, B), f"mixed-modality batch ({n_mm}/{B} multimodal)"
+        out = {
+            "input_ids": cb["input_ids"],
+            "attention_mask": cb["attention_mask"],
+            "labels": cb["labels"],
+        }
+        if n_mm:
+            out["images"] = {"front_image": cb["pixel_values"]}
+            # fused block goes right after BOS; no diffusion block (d=0)
+            out["splice_idx"] = np.ones((B,), np.int32)
+        return out
+
+    step = 0
+    for epoch in range(epochs if max_steps is None else 10**6):
+        sampler.set_epoch(epoch)
+        idx_iter = list(iter(sampler))
+        for bstart in range(0, len(idx_iter) - per_host + 1, per_host):
+            rows = [ds[i] for i in idx_iter[bstart : bstart + per_host]]
+            host_batch = model_batch(collator(rows))
+            batch = shard_batch(
+                jax.tree_util.tree_map(jnp.asarray, host_batch), mesh
+            )
+            step_key = jax.random.fold_in(rng, step)
+            state, step_metrics = step_fn(state, batch, step_key)
+            metrics.commit(
+                global_step=step, epoch=epoch, lr=float(schedule(step)),
+                update_step_time=True,
+                tokens=int(host_batch["input_ids"].shape[0])
+                * jax.process_count() * int(host_batch["input_ids"].shape[1]),
+                **{k: v for k, v in step_metrics.items()},
+            )
+            if step % 10 == 0 or step == num_steps - 1:
+                overwatch.info(metrics.push())
+            step += 1
+            if step >= num_steps:
+                break
+        if step >= num_steps:
+            break
+    ckpt_mod.save_checkpoint(
+        run_dir, state, step=step, epoch=epoch,
+        loss=float(step_metrics["total_loss"]), model_cfg=cfg, async_save=False,
+    )
+    metrics.finalize()
+    overwatch.info("done")
+
+
 def main(argv=None):
     args, overrides = parse_args(argv)
+
+    if args.vlm_stage:
+        return train_vlm(args, overrides)
 
     import jax
 
@@ -95,6 +283,7 @@ def main(argv=None):
     from mla_tpu.parallel.mesh import initialize_distributed
     from mla_tpu.training import checkpointing as ckpt_mod
     from mla_tpu.training import optim, strategy
+    from mla_tpu.training import metrics as metrics_mod
     from mla_tpu.training.metrics import VLAMetrics
     from mla_tpu.utils import initialize_overwatch, set_global_seed
     from mla_tpu.vla.materialize import get_vla_dataset_and_collator
@@ -240,30 +429,22 @@ def main(argv=None):
         f"per-device={tc.per_device_batch_size} grad_accum={grad_accum} steps={num_steps}"
     )
 
-    # throughput observability: 6N model-FLOPs per token (PaLM MFU
-    # convention — remat recompute not counted) against the mesh's total
-    # bf16 peak (v5e: 197 TFLOPS/chip); tokens/step is committed per batch.
-    # N counts only what executes PER DECODER TOKEN: the llm_backbone minus
-    # the embed table (a lookup, not a matmul) and minus the lm_head in
-    # diffusion mode (mla_train_loss never projects logits there and the
-    # head is frozen). Front-end tokenizers run once per frame, not per
-    # token — leaving them out makes the published MFU a slight UNDERcount,
-    # never an overcount.
-    llm_params = state["params"]["llm_backbone"]
-    skip = {"embed"} | ({"lm_head"} if tc.use_diff else set())
-    n_params = sum(
-        int(l.size)
-        for k, sub in llm_params.items()
-        if k not in skip
-        for l in jax.tree_util.tree_leaves(sub)
-    )
+    # throughput observability: 6N model-FLOPs per token against the mesh's
+    # total bf16 peak. The per-token FLOP accounting (which leaves count,
+    # PaLM 6N convention) lives in ONE place —
+    # training/metrics.decoder_flops_per_token — shared with tpu_smoke.py
+    # and the bench training block so the three cannot drift.
     peak_flops = (
-        197e12 * jax.device_count() if jax.default_backend() == "tpu" else None
+        metrics_mod.TPU_V5E_BF16_PEAK_FLOPS * jax.device_count()
+        if jax.default_backend() == "tpu" else None
     )
     metrics = VLAMetrics(
         tc.trackers.split(","), run_id, run_dir,
         hparams=dataclasses.asdict(tc), resume_step=start_step or None,
-        flops_per_token=6.0 * n_params, peak_flops=peak_flops,
+        flops_per_token=metrics_mod.decoder_flops_per_token(
+            state["params"]["llm_backbone"], tc.use_diff
+        ),
+        peak_flops=peak_flops,
     )
 
     # --- preemption-safe checkpointing (beyond the reference's crash-and-
