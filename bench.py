@@ -48,6 +48,37 @@ os.environ.setdefault("MLA_PREFILL_SCORES", "bf16")
 
 BASELINE_A100_CHUNKS_PER_SEC = 2.3  # analytic estimate, see module docstring
 
+# Analytic A100 anchor for the AR head (reference predict_action_ar,
+# model_mla.py:494-589): one ~574-token multimodal prefill + 7 KV-cached
+# greedy single-token decode steps on the bf16 7B. Prefill: 2*6.7e9*574
+# = 7.7 TFLOP at the same favorable 45% MFU granted to the diffusion
+# anchor => 55 ms. Decode: each step reads the 13.4 GB bf16 weights; at a
+# favorable 70% of A100's 2.04 TB/s HBM => 9.4 ms/step x 7 = 66 ms.
+# => ~121 ms/action => ~8.3 actions/s. Full derivation + sensitivity in
+# BASELINE.md ("The AR-head anchor").
+BASELINE_A100_AR_ACTIONS_PER_SEC = 8.3
+
+
+def _host_load1():
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except Exception:
+        return None
+
+
+def _wait_host_idle(threshold: float = 0.8, max_wait_s: float = 90.0):
+    """Idle-host guard (VERDICT r4 #2): on the 1-core box any concurrent
+    host work skews p50 latencies. Wait (bounded) for load to drop; return
+    the load at measurement start so a contaminated run is visible in the
+    JSON."""
+    t0 = time.time()
+    load = _host_load1()
+    while load is not None and load > threshold and time.time() - t0 < max_wait_s:
+        time.sleep(10)
+        load = _host_load1()
+    return load
+
 
 def _zeros_model(cfg):
     import jax
@@ -117,6 +148,8 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
     import jax.numpy as jnp
     import numpy as np
 
+    t_start = time.time()
+    host_load1 = _wait_host_idle()
     policy, cfg = build_policy(model_id)
     rng = np.random.default_rng(0)
     size = cfg.vision.image_size
@@ -169,13 +202,17 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
     null_in = jnp.zeros((8, 128), jnp.float32)
     float(jax.device_get(null_fn(null_in)))
     rtts = []
-    for i in range(min(iters, 8)):
+    for i in range(max(min(iters, 16), 8)):
         nv = null_in + jnp.float32(i)
         nv.block_until_ready()
         t0 = time.perf_counter()
         float(jax.device_get(null_fn(nv)))
         rtts.append(time.perf_counter() - t0)
     rtt_s = float(np.percentile(rtts, 50))
+    # the tunnel RTT drifts several ms between sessions (measured 25-32 ms
+    # across one day) and every NET reading inherits it — publish the
+    # in-run spread so a shifted headline is attributable
+    rtt_spread_ms = float(np.percentile(rtts, 90) - np.percentile(rtts, 10)) * 1e3
 
     # end-to-end (numpy-in) timing for the transfer overhead estimate
     e2e = []
@@ -185,8 +222,10 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
         e2e.append(time.perf_counter() - t0)
 
     mode_min_s = {}  # mode name -> best (min) gross seconds, for the phase split
+    mode_stats = {}  # mode name -> {p50_s, min_s, n} variance record
 
-    def timed_mode(B: int, fold_base: int, _min_key=None, **diff_kwargs):
+    def timed_mode(B: int, fold_base: int, _min_key=None, iters_override=None,
+                   **diff_kwargs):
         """chunks/s for one serving-mode graph, following the tunnel timing
         rules (CLAUDE.md): scalar-reduced jit, completion forced by
         device_get, one input perturbed per call, RTT netted out. Returns
@@ -212,7 +251,7 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
 
             run(jax.random.normal(key, (B, cfg.action_horizon, cfg.action_dim)))  # warm
             ts = []
-            for i in range(max(iters // 2, 2)):
+            for i in range(iters_override or max(iters // 2, 2)):
                 noise = jax.random.normal(
                     jax.random.fold_in(key, fold_base + i),
                     (B, cfg.action_horizon, cfg.action_dim),
@@ -223,6 +262,11 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
                 ts.append(time.perf_counter() - t0)
             if _min_key:
                 mode_min_s[_min_key] = float(np.min(ts))
+                mode_stats[_min_key] = {
+                    "p50_s": float(np.percentile(ts, 50)),
+                    "min_s": float(np.min(ts)),
+                    "n": len(ts),
+                }
             return B / max(float(np.percentile(ts, 50)) - rtt_s, 1e-6)
         except Exception:
             return None
@@ -261,33 +305,48 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
     # throughput mode: batched serving (weights amortize across the batch);
     # B=4 fits beside the 7B int8 weights on a 16GB chip (B=8 KV cache OOMs)
     batch_throughput = timed_mode(4, 100)
-    # DPM-Solver++(2M) 4-eval mode — the qualified serving flagship
-    dpm4 = timed_mode(1, 200, _min_key="dpm4", sampler="dpm", num_dpm_steps=4)
+    # DPM-Solver++(2M) 4-eval mode — the qualified serving flagship; the
+    # HEADLINE, so it gets the full iteration budget for a stable p50
+    dpm4 = timed_mode(1, 200, _min_key="dpm4", iters_override=max(iters, 2),
+                      sampler="dpm", num_dpm_steps=4)
     # compound mode: batched serving WITH the DPM-4 sampler — both levers
     # multiply (weight reads amortize across B AND across half the evals)
     batch_dpm4 = timed_mode(4, 300, sampler="dpm", num_dpm_steps=4)
-    # DPM-2/3 floor probes (qualified at small scale, docs/kernels.md) —
-    # env-gated: each is a NEW unrolled 7B program (~10 min cold remote
-    # compile), too costly for the driver's default path
+    # DPM-2/3 floor probes (qualified alongside DPM-4 up the scale ladder,
+    # docs/kernels.md). Each is its own unrolled 7B program (~10 min cold
+    # remote compile, instant on a warm /tmp compile cache), so they are
+    # budget-gated rather than env-gated (VERDICT r4 #3): run when the
+    # bench still has wall-clock headroom inside the driver's 7200 s child
+    # timeout. MLA_BENCH_DPM23=0 disables; =1 forces regardless of budget.
     dpm2 = dpm3 = None
-    if os.environ.get("MLA_BENCH_DPM23"):
-        dpm2 = timed_mode(1, 400, sampler="dpm", num_dpm_steps=2)
-        dpm3 = timed_mode(1, 500, sampler="dpm", num_dpm_steps=3)
+    gate = os.environ.get("MLA_BENCH_DPM23", "auto")
+    if gate != "0":
+        budget_ok = (time.time() - t_start) < float(
+            os.environ.get("MLA_BENCH_DPM23_BUDGET_S", "3000")
+        )
+        if gate == "1" or budget_ok:
+            dpm2 = timed_mode(1, 400, _min_key="dpm2", sampler="dpm", num_dpm_steps=2)
+            dpm3 = timed_mode(1, 500, _min_key="dpm3", sampler="dpm", num_dpm_steps=3)
 
-    # phase split derived in-graph: the DDIM-8 and DPM-4 graphs are identical
-    # except for the denoise-eval count (8 vs 4 suffix forwards), so their
-    # net-latency difference divided by 4 is one suffix step, and what remains
-    # of the DDIM-8 latency is prefill (+ the ~1.6 ms front-end, measured
-    # separately in scripts/profile_serving.py)
-    # The split uses MIN times, not p50: host-side contention only ever ADDS
-    # latency, and a few ms of asymmetric noise between the two p50s once
-    # pushed the implied prefill below the int8 physical floor (mfu > 1).
+    # phase split derived in-graph: the DDIM-8 / DPM-k graphs are identical
+    # except for the denoise-eval count (8 vs k suffix forwards), so net
+    # latency is linear in evals: latency(n) = prefill + n * suffix. With
+    # DPM-2/3/4 + DDIM-8 all measured, fit the line by least squares over
+    # every available (n, min-net-latency) point — the r4 two-point split
+    # amplified min-time noise 8x into the prefill intercept (one run
+    # implied mfu_prefill 0.95 from a 2 ms swing). MIN times, not p50:
+    # host-side contention only ever ADDS latency.
     suffix_ms = prefill_ms = mfu_prefill = None
-    if dpm4 and mode_min_s.get("dpm4"):
-        ddim8_net = max(float(np.min(times)) - rtt_s, 1e-6)
-        dpm4_net = max(mode_min_s["dpm4"] - rtt_s, 1e-6)
-        suffix_ms = max((ddim8_net - dpm4_net) / 4.0 * 1e3, 0.0)
-        prefill_ms = max(ddim8_net * 1e3 - 8.0 * suffix_ms, 0.0)
+    pts = [(8.0, float(np.min(times)))]  # DDIM-8 from the main timing loop
+    for k, n_evals in (("dpm2", 2.0), ("dpm3", 3.0), ("dpm4", 4.0)):
+        if mode_min_s.get(k):
+            pts.append((n_evals, mode_min_s[k]))
+    if dpm4 and len(pts) >= 2:
+        ns = np.asarray([p[0] for p in pts])
+        ys = np.asarray([max(p[1] - rtt_s, 1e-6) for p in pts])
+        slope, intercept = np.polyfit(ns, ys, 1)
+        suffix_ms = max(float(slope) * 1e3, 0.0)
+        prefill_ms = max(float(intercept) * 1e3, 0.0)
         # int8 MXU utilization of the prefill phase: 2 * weight_params * P
         # MACs through the 394 TOPS v5e int8 path. Only the DECODE-LAYER
         # linears count (prefill runs compute_logits=False so lm_head never
@@ -310,10 +369,29 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
                 # produced it.
                 suffix_ms = prefill_ms = mfu_prefill = None
 
+    # variance record for the headline mode (VERDICT r4 #2): a single cold
+    # driver run must be interpretable — publish spread (p50 vs min) and n
+    # so a host-noise-skewed p50 is visible next to the robust min
+    dpm4_stats = mode_stats.get("dpm4")
+    variance = None
+    if dpm4_stats:
+        net_p50 = max(dpm4_stats["p50_s"] - rtt_s, 1e-6)
+        net_min = max(dpm4_stats["min_s"] - rtt_s, 1e-6)
+        variance = {
+            "n": dpm4_stats["n"],
+            "dpm4_chunks_per_sec_min": 1.0 / net_min,
+            "p50_vs_min_spread_pct": (net_p50 / net_min - 1.0) * 100.0,
+            "rtt_spread_ms": rtt_spread_ms,
+            "host_load1_at_start": host_load1,
+        }
+
     return {
         "p50_s": float(np.percentile(times, 50)),
         "p90_s": float(np.percentile(times, 90)),
         "mean_s": float(times.mean()),
+        "min_s": float(np.min(times)),
+        "n_ddim8": int(times.size),
+        "variance": variance,
         "rtt_s": rtt_s,
         "transfer_ms": float(max(np.percentile(e2e, 50) - np.percentile(times, 50), 0.0) * 1e3),
         "batch_chunks_per_sec": batch_throughput, "throughput_batch": 4,
@@ -379,12 +457,24 @@ def _emit(result, model_used, backend, extra=None):
         if result.get("dpm3_chunks_per_sec")
         else None,
         # the AR action head (reference predict_action_ar): 7 greedy tokens
-        # against the cached multimodal prefix
+        # against the cached multimodal prefix. Anchored against its own
+        # analytic A100 estimate (~8.3 actions/s — prefill-compute +
+        # 7 bandwidth-bound KV-cached decode steps; BASELINE.md "The
+        # AR-head anchor"). The AR decode is HBM-bandwidth-bound, where
+        # v5e (819 GB/s) gives away 2.5x to A100 (2.04 TB/s) — int8
+        # weights claw back 2x — so parity-ish, not 5x, is the physical
+        # ceiling for this head on this chip; the 5x target is defined on
+        # the diffusion chunk path (the reference's serving default).
         "ar_actions_per_sec": round(result["ar_actions_per_sec"], 2)
         if result.get("ar_actions_per_sec")
         else None,
-        # perf split (derived in-graph from the DDIM-8 vs DPM-4 eval-count
-        # difference; prefill_ms includes the ~1.6 ms front-end)
+        "ar_vs_baseline": round(
+            result["ar_actions_per_sec"] / BASELINE_A100_AR_ACTIONS_PER_SEC, 3
+        )
+        if result.get("ar_actions_per_sec")
+        else None,
+        # perf split (least-squares fit of net latency vs denoise-eval count
+        # over DPM-2/3/4 + DDIM-8; prefill_ms includes the ~1.6 ms front-end)
         "suffix_ms_per_step": round(result["suffix_ms_per_step"], 2)
         if result.get("suffix_ms_per_step") is not None
         else None,
@@ -394,6 +484,25 @@ def _emit(result, model_used, backend, extra=None):
         "mfu_prefill": round(result["mfu_prefill"], 3)
         if result.get("mfu_prefill") is not None
         else None,
+        # run-interpretability block (VERDICT r4 #2): sample counts, the
+        # min-based (host-noise-immune) headline alternative, the p50/min
+        # spread, and the host load when timing started
+        "variance": (
+            {
+                "n_dpm4": result["variance"]["n"],
+                "n_ddim8": result.get("n_ddim8"),
+                "dpm4_chunks_per_sec_min": round(
+                    result["variance"]["dpm4_chunks_per_sec_min"], 2
+                ),
+                "p50_vs_min_spread_pct": round(
+                    result["variance"]["p50_vs_min_spread_pct"], 2
+                ),
+                "rtt_spread_ms": round(result["variance"]["rtt_spread_ms"], 2),
+                "host_load1_at_start": result["variance"]["host_load1_at_start"],
+            }
+            if result.get("variance")
+            else None
+        ),
         "baseline_note": (
             "vs analytic A100 estimate of reference predict_action_diff (~2.3 "
             "chunks/s, derivation in BASELINE.md); repo publishes no numbers. "
@@ -549,10 +658,21 @@ def main():
                 # tokens-per-s / MFU) + Pallas kernel revalidation at real
                 # tile shapes (interpret mode can't catch TPU tiling bugs)
                 here = os.path.dirname(os.path.abspath(__file__))
+                # headline training probe: the LARGEST single-chip-trainable
+                # scale (mla-2b, ~1.6B decoder params, masked adafactor —
+                # fp32 Adam moments don't fit beside the bf16 params at this
+                # scale; VERDICT r4 #1). mla-small stays alongside for
+                # continuity with earlier rounds.
                 training = _json_probe(
                     [sys.executable, os.path.join(here, "scripts", "tpu_smoke.py"),
-                     "--model", "mla-small", "--batch", "8", "--steps", "4"],
+                     "--model", "mla-2b", "--optimizer", "adafactor",
+                     "--batch", "8", "--steps", "5"],
                     timeout_s=2700, env=child_env,
+                )
+                training_small = _json_probe(
+                    [sys.executable, os.path.join(here, "scripts", "tpu_smoke.py"),
+                     "--model", "mla-small", "--batch", "8", "--steps", "6"],
+                    timeout_s=1800, env=child_env,
                 )
                 kernels = _json_probe(
                     [sys.executable, os.path.join(here, "scripts", "kernel_check.py")],
@@ -561,6 +681,7 @@ def main():
                 try:
                     merged = json.loads(out_line)
                     merged["training"] = training
+                    merged["training_small"] = training_small
                     merged["kernel_revalidation"] = kernels
                     out_line = json.dumps(merged)
                 except json.JSONDecodeError:
