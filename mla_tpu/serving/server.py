@@ -105,6 +105,15 @@ class BatchingServer:
         self._lat_window = 512
         self._queue_wait_s: list = []
         self._e2e_s: list = []
+        # per-DEVICE-CALL phase rings (the serving-host gap decomposition,
+        # docs/kernels.md): assemble+dispatch = worker-thread time spent
+        # building the batch and enqueuing the device call (host memcpy +
+        # host->device transfer initiation — the part that can steal time
+        # from the depth-2 pipeline); finalize_block = time the worker
+        # blocks on the oldest in-flight batch (device execution not hidden
+        # by dispatch-ahead)
+        self._assemble_dispatch_s: list = []
+        self._finalize_block_s: list = []
         self._batch_hist: Dict[int, int] = {}
         self._closed = False
         self._worker = threading.Thread(target=self._run, name="mla-serve", daemon=True)
@@ -166,12 +175,15 @@ class BatchingServer:
         with self._stats_lock:
             s = dict(self._stats)
             qw, e2e = list(self._queue_wait_s), list(self._e2e_s)
+            ad, fb = list(self._assemble_dispatch_s), list(self._finalize_block_s)
             s["batch_size_hist"] = dict(sorted(self._batch_hist.items()))
             s["pending"] = self._pending
         s["avg_batch_size"] = (
             s["batch_size_sum"] / s["device_calls"] if s["device_calls"] else 0.0
         )
-        for name, window in (("queue_wait_ms", qw), ("e2e_ms", e2e)):
+        for name, window in (("queue_wait_ms", qw), ("e2e_ms", e2e),
+                             ("assemble_dispatch_ms", ad),
+                             ("finalize_block_ms", fb)):
             if window:
                 arr = np.asarray(window) * 1e3
                 s[name] = {
@@ -276,6 +288,7 @@ class BatchingServer:
         n = len(reqs)
         bucket = next(b for b in self.buckets if b >= n) if n <= self.max_batch else n
         pad = bucket - n
+        t_assemble = time.monotonic()
         try:
             rows = reqs + [reqs[-1]] * pad     # padding repeats the last row
             images = np.stack([r.image for r in rows])
@@ -305,6 +318,7 @@ class BatchingServer:
                 self._stats["batch_size_sum"] += bucket
                 self._stats["padded_rows"] += pad
                 self._batch_hist[bucket] = self._batch_hist.get(bucket, 0) + 1
+                self._record_latency(self._assemble_dispatch_s, now - t_assemble)
                 for r in reqs:
                     r.t_dispatch = now
                     self._record_latency(self._queue_wait_s, now - r.t_submit)
@@ -317,9 +331,11 @@ class BatchingServer:
         if finalize is None:
             return
         try:
+            t_block = time.monotonic()
             out = finalize()
             now = time.monotonic()
             with self._stats_lock:
+                self._record_latency(self._finalize_block_s, now - t_block)
                 for r in reqs:
                     self._record_latency(self._e2e_s, now - r.t_submit)
             for r, a in zip(reqs, out[:n]):

@@ -125,6 +125,13 @@ def main(argv=None):
         "padded_rows": stats["padded_rows"] - warm_stats["padded_rows"],
         "model": args.model, "sampler": args.sampler,
         "buckets": args.buckets, "max_wait_ms": args.max_wait_ms,
+        # per-device-call phase decomposition (VERDICT r4 #8): where the
+        # gross-vs-device-ceiling gap goes — worker time assembling +
+        # enqueuing each batch (host memcpy + transfer initiation) vs time
+        # blocked on the oldest in-flight batch (execution not hidden)
+        "assemble_dispatch_ms": stats.get("assemble_dispatch_ms"),
+        "finalize_block_ms": stats.get("finalize_block_ms"),
+        "queue_wait_ms": stats.get("queue_wait_ms"),
         "note": "closed-loop clients via BatchingServer; raw uint8 frames, "
                 "CLIP preprocess on-device; includes host batching + "
                 "transfers + the dev tunnel's ~26 ms/dispatch RTT",

@@ -40,7 +40,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="mla-7b-int8")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset of variants to time "
+                         "(bw_sweep,dots_only,dots_pallas,dots_noquant,"
+                         "attn_only,suffix_full) — each variant is its own "
+                         "7B compile, so flag sweeps run just suffix_full")
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(name):
+        return only is None or name in only
 
     import jax
     import jax.numpy as jnp
@@ -193,34 +202,41 @@ def main():
     t_null = timeit(lambda a: (a * 2).sum(), jnp.zeros((8, 128), jnp.float32), vary=0)
     net = lambda t: max(t - t_null, 0.0)
 
-    t_bw = net(timeit(bw_sweep, jnp.int32(0), wq_leaves, vary=0))
-    t_dots = net(timeit(dots_only, h0, lp, vary=0))
-    try:
-        t_pallas = net(timeit(dots_pallas, h0, lp, vary=0))
-    except Exception as e:
-        print(f"dots_pallas failed: {type(e).__name__}: {e}", file=sys.stderr)
-        t_pallas = None
-    t_noq = net(timeit(dots_noquant, h0, lp, vary=0))
-    t_attn = net(timeit(attn_only, h0, kv, vary=0))
-    x0 = jnp.asarray(rng.normal(size=(B, cfg.action_horizon, cfg.action_dim)), jnp.float32)
-    t_suffix = net(timeit(suffix_full, x0, jnp.full((B,), 99, jnp.int32), params, kv, vary=0))
+    t_bw = net(timeit(bw_sweep, jnp.int32(0), wq_leaves, vary=0)) if want("bw_sweep") else None
+    t_dots = net(timeit(dots_only, h0, lp, vary=0)) if want("dots_only") else None
+    t_pallas = None
+    if want("dots_pallas"):
+        try:
+            t_pallas = net(timeit(dots_pallas, h0, lp, vary=0))
+        except Exception as e:
+            print(f"dots_pallas failed: {type(e).__name__}: {e}", file=sys.stderr)
+    t_noq = net(timeit(dots_noquant, h0, lp, vary=0)) if want("dots_noquant") else None
+    t_attn = net(timeit(attn_only, h0, kv, vary=0)) if want("attn_only") else None
+    t_suffix = None
+    if want("suffix_full"):
+        x0 = jnp.asarray(rng.normal(size=(B, cfg.action_horizon, cfg.action_dim)), jnp.float32)
+        t_suffix = net(timeit(suffix_full, x0, jnp.full((B,), 99, jnp.int32), params, kv, vary=0))
 
     kv_bytes = 2 * L * B * lcfg.num_kv_heads * cache_max * hd * 2
 
+    r = lambda t: round(t, 2) if t is not None else None  # noqa: E731
     print(json.dumps({
         "model": args.model, "backend": jax.default_backend(),
+        "xla_flags": os.environ.get("XLA_FLAGS", ""),
+        "libtpu_init_args": os.environ.get("LIBTPU_INIT_ARGS", ""),
         "dispatch_rtt_ms": round(t_null, 2),
         "weight_bytes_gb": round(wq_bytes / 1e9, 2),
-        "bw_sweep_ms": round(t_bw, 2),
-        "achieved_gbps": round(wq_bytes / t_bw / 1e6, 1),
+        "bw_sweep_ms": r(t_bw),
+        "achieved_gbps": round(wq_bytes / t_bw / 1e6, 1) if t_bw else None,
         "spec_floor_ms": round(wq_bytes / 819e9 * 1e3, 2),
-        "dots_only_ms": round(t_dots, 2),
-        "dots_pallas_ms": round(t_pallas, 2) if t_pallas is not None else None,
-        "dots_noquant_ms": round(t_noq, 2),
-        "attn_only_ms": round(t_attn, 2),
+        "dots_only_ms": r(t_dots),
+        "dots_pallas_ms": r(t_pallas),
+        "dots_noquant_ms": r(t_noq),
+        "attn_only_ms": r(t_attn),
         "kv_read_floor_ms": round(kv_bytes / 819e9 * 1e3, 2),
-        "suffix_full_ms": round(t_suffix, 2),
-        "residue_vs_parts_ms": round(t_suffix - t_dots - t_attn, 2),
+        "suffix_full_ms": r(t_suffix),
+        "residue_vs_parts_ms": round(t_suffix - t_dots - t_attn, 2)
+        if None not in (t_suffix, t_dots, t_attn) else None,
     }))
 
 
