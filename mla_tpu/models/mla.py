@@ -443,6 +443,94 @@ def greedy_decode_actions(
     return jnp.swapaxes(toks, 0, 1), jnp.swapaxes(probs, 0, 1)  # [B, T] each
 
 
+def beam_search_decode(
+    params: Dict[str, Any],
+    cfg: prismatic.MLAModelConfig,
+    kv_cache: Dict[str, jnp.ndarray],
+    prefix_len: int,
+    last_logits: jnp.ndarray,  # [B, V] from prefill
+    num_tokens: int,
+    *,
+    num_beams: int,
+    eos_id: int = EOS_ID,
+    length_penalty: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Static-shape beam search against the cached prefix; returns
+    ([B, num_tokens] best-beam ids, [B] length-penalized log-prob scores).
+
+    Parity surface: the reference routes generate(num_beams=...) through HF
+    GenerationMixin's beam search (models/vlm/base_vlm.py:32-108,
+    prismatic.py:1195-1295). TPU-idiomatic shape discipline instead of HF's
+    dynamic hypothesis lists: beams ride the batch axis (row b's beams are
+    flat rows b*K..b*K+K-1), every decode step is ONE [B*K]-batched forward
+    on the MXU, parent re-selection regathers the KV cache along the batch
+    axis inside the scan, and finished beams extend with EOS at log-prob 0
+    (score frozen) so control flow stays static. Selection follows HF's
+    scorer: score / len(tokens-up-to-and-including-EOS) ** length_penalty.
+    """
+    decoder = prismatic.get_decoder(cfg)
+    B, V = last_logits.shape
+    K = int(num_beams)
+    if not 1 <= K <= V:
+        raise ValueError(f"num_beams must be in [1, vocab], got {K}")
+    cache_max = kv_cache["k"].shape[3]
+    NEG = jnp.float32(-1e9)
+
+    cache = jax.tree_util.tree_map(lambda c: jnp.repeat(c, K, axis=1), kv_cache)
+    logp0 = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)
+    scores, tok = jax.lax.top_k(logp0, K)  # [B, K] each: the first expansion
+    finished = tok == eos_id
+    lengths = jnp.ones((B, K), jnp.int32)
+    tokens = jnp.zeros((B, K, num_tokens), jnp.int32).at[:, :, 0].set(tok)
+    batch_offset = (jnp.arange(B) * K)[:, None]  # [B, 1]
+    # a finished beam's only continuation: EOS at log-prob 0
+    eos_row = jnp.full((V,), NEG).at[eos_id].set(0.0)
+
+    def step(carry, i):
+        cache, tok, scores, finished, lengths, tokens = carry
+        emb = decoder.embed_tokens(params["llm_backbone"], tok.reshape(B * K, 1))
+        key_mask = (jnp.arange(cache_max)[None, :] < prefix_len + i + 1).repeat(
+            B * K, axis=0
+        )
+        out = decoder.forward(
+            params["llm_backbone"], cfg.llama, emb,
+            kv_cache=cache, cache_len=prefix_len + i, key_mask=key_mask,
+        )
+        logp = jax.nn.log_softmax(
+            out["logits"][:, -1].astype(jnp.float32), axis=-1
+        ).reshape(B, K, V)
+        logp = jnp.where(finished[:, :, None], eos_row[None, None, :], logp)
+        scores, flat = jax.lax.top_k(
+            (scores[:, :, None] + logp).reshape(B, K * V), K
+        )
+        parent, tok = flat // V, flat % V
+        was_finished = jnp.take_along_axis(finished, parent, axis=1)
+        lengths = jnp.take_along_axis(lengths, parent, axis=1)
+        tokens = jnp.take_along_axis(
+            tokens, jnp.broadcast_to(parent[:, :, None], (B, K, num_tokens)), axis=1
+        ).at[:, :, i + 1].set(tok)
+        lengths = jnp.where(was_finished, lengths, lengths + 1)
+        finished = was_finished | (tok == eos_id)
+        gp = (batch_offset + parent).reshape(-1)  # [B*K] flat parent rows
+        cache = jax.tree_util.tree_map(
+            lambda c: jnp.take(c, gp, axis=1), out["kv_cache"]
+        )
+        return (cache, tok, scores, finished, lengths, tokens), None
+
+    if num_tokens > 1:
+        (cache, tok, scores, finished, lengths, tokens), _ = jax.lax.scan(
+            step, (cache, tok, scores, finished, lengths, tokens),
+            jnp.arange(num_tokens - 1),
+        )
+    penalized = scores / lengths.astype(jnp.float32) ** length_penalty
+    best = jnp.argmax(penalized, axis=1)  # [B]
+    best_tokens = jnp.take_along_axis(
+        tokens, best[:, None, None].repeat(num_tokens, axis=2), axis=1
+    )[:, 0]
+    best_scores = jnp.take_along_axis(penalized, best[:, None], axis=1)[:, 0]
+    return best_tokens, best_scores
+
+
 # --------------------------------------------------------------------------- #
 # Host-side policy wrapper
 # --------------------------------------------------------------------------- #
@@ -614,6 +702,41 @@ class MLAPolicy:
                                            scores_dtype=None)
                 return greedy_decode_actions(
                     params, self.cfg, kv, prefix.shape[1], last_logits, num_tokens
+                )
+
+            self._jit_cache[sig] = run
+        return self._jit_cache[sig]
+
+    def _gen_fn(self, prefix_len: int, num_tokens: int, *, num_beams: int = 1,
+                temperature: float = 0.0, top_k: int = 0,
+                length_penalty: float = 1.0):
+        """Jitted text-generation graph over the multimodal prefix: greedy /
+        sampled (temperature, top-k) via greedy_decode_actions, or beam
+        search (num_beams > 1) via beam_search_decode. Same fp32-scores
+        prefill pin as _ar_fn (token selection is discrete). Sampling and
+        beam search are mutually exclusive, as in HF GenerationMixin."""
+        if num_beams > 1 and temperature > 0:
+            raise ValueError("beam search and sampling are mutually exclusive")
+        sig = ("gen", prefix_len, num_tokens, num_beams, temperature, top_k,
+               length_penalty)
+        if sig not in self._jit_cache:
+            cache_max = prefix_len + self.cfg.fused_len + num_tokens + self.cache_margin
+
+            @jax.jit
+            def run(params, state, ids_prefix, images, pc, key):
+                prefix = build_prefix_embeds(params, state, self.cfg, ids_prefix, images, pc)
+                kv, last_logits = prefill(params, self.cfg, prefix, cache_max,
+                                          scores_dtype=None)
+                if num_beams > 1:
+                    return beam_search_decode(
+                        params, self.cfg, kv, prefix.shape[1], last_logits,
+                        num_tokens, num_beams=num_beams,
+                        length_penalty=length_penalty,
+                    )
+                return greedy_decode_actions(
+                    params, self.cfg, kv, prefix.shape[1], last_logits,
+                    num_tokens, temperature=temperature, top_k=top_k,
+                    key=key if temperature > 0 else None,
                 )
 
             self._jit_cache[sig] = run
@@ -841,10 +964,17 @@ class MLAPolicy:
         prompt: str,
         max_new_tokens: int = 64,
         input_ids: Optional[np.ndarray] = None,
+        num_beams: int = 1,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        length_penalty: float = 1.0,
+        seed: int = 0,
     ) -> str:
-        """Multimodal text generation (reference PrismaticVLM.generate /
-        generate_batch, prismatic.py:1195-1295): greedy decode over the
-        [BOS|fused|prompt] prefix, truncated at the first EOS."""
+        """Multimodal text generation (reference PrismaticVLM.generate,
+        prismatic.py:1195-1295, which routes through HF GenerationMixin):
+        greedy by default, sampled with temperature/top_k, or beam search
+        with num_beams > 1 (+ HF-convention length_penalty). Output is
+        truncated at the first EOS."""
         if input_ids is None:
             ids = self.tokenizer(
                 f"In: {prompt}\nOut:".rstrip(), add_special_tokens=True
@@ -852,17 +982,73 @@ class MLAPolicy:
             input_ids = np.asarray([ids], np.int32)
         images = {"front_image": _ensure_image_batch(image)}
         pc = _ensure_pc_batch(pointcloud)
-        proprio = np.zeros((1, 1, self.cfg.action_dim), np.float32)
-        fn = self._ar_fn(int(input_ids.shape[1]), max_new_tokens)
+        fn = self._gen_fn(
+            int(input_ids.shape[1]), max_new_tokens, num_beams=num_beams,
+            temperature=temperature, top_k=top_k, length_penalty=length_penalty,
+        )
         toks = np.asarray(
-            fn(self.params, self.state, jnp.asarray(input_ids), images, pc, jnp.asarray(proprio))[0]
+            fn(self.params, self.state, jnp.asarray(input_ids), images, pc,
+               jax.random.PRNGKey(seed))[0]
         )[0]
+        return self._decode_to_eos(toks)
+
+    def _decode_to_eos(self, toks: np.ndarray) -> str:
         eos = np.nonzero(toks == EOS_ID)[0]
         if len(eos):
             toks = toks[: eos[0]]
         if self.tokenizer is None:
             return " ".join(str(t) for t in toks)
         return self.tokenizer.decode(toks)
+
+    def generate_text_batch(
+        self,
+        images,
+        pointclouds,
+        prompts: List[str],
+        max_new_tokens: int = 64,
+        num_beams: int = 1,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        length_penalty: float = 1.0,
+        seed: int = 0,
+    ) -> List[str]:
+        """Batched multimodal generation (reference generate_batch,
+        prismatic.py:1246-1295). TPU shape discipline: rows are grouped by
+        prompt token length and each group runs as ONE batched graph (same
+        static-shape bucketing the serving host uses) — padding prompts
+        instead would shift the static splice layout. Beam search batches
+        too (beams ride the flattened [B*K] batch axis)."""
+        n = len(prompts)
+        ids_list = [
+            np.asarray(
+                [self.tokenizer(f"In: {p}\nOut:".rstrip(), add_special_tokens=True)["input_ids"]],
+                np.int32,
+            )
+            for p in prompts
+        ]
+        groups: Dict[int, list] = {}
+        for i, ids in enumerate(ids_list):
+            groups.setdefault(int(ids.shape[1]), []).append(i)
+        out: List[Optional[str]] = [None] * n
+        for L, rows in groups.items():
+            images_b = {
+                "front_image": jnp.concatenate(
+                    [_ensure_image_batch(images[i]) for i in rows], axis=0
+                )
+            }
+            pc_b = jnp.concatenate([_ensure_pc_batch(pointclouds[i]) for i in rows], axis=0)
+            ids_b = jnp.asarray(np.concatenate([ids_list[i] for i in rows], axis=0))
+            fn = self._gen_fn(
+                L, max_new_tokens, num_beams=num_beams, temperature=temperature,
+                top_k=top_k, length_penalty=length_penalty,
+            )
+            toks = np.asarray(
+                fn(self.params, self.state, ids_b, images_b, pc_b,
+                   jax.random.PRNGKey(seed))[0]
+            )
+            for j, i in enumerate(rows):
+                out[i] = self._decode_to_eos(toks[j])
+        return out  # type: ignore[return-value]
 
     def predict_action_diff_ar(
         self,
