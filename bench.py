@@ -174,8 +174,11 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
     # scalar with device_get (block_until_ready can return early on the
     # tunnel backend), and vary an input every call (identical calls are served
     # from a remote result cache).
+    # NB: wrapping a policy graph in an outer jit inlines it — the outer
+    # compile must carry the policy's compiler options or they are lost
     fn = policy._diff_fn(ids.shape[1] - 1, 1, use_ddpm=False)
-    fn_s = jax.jit(lambda *a: fn(*a).astype(jnp.float32).sum())
+    fn_s = jax.jit(lambda *a: fn(*a).astype(jnp.float32).sum(),
+                   compiler_options=policy.compiler_options)
     images_d = {"front_image": jnp.asarray(img[None])}
     pc_d = jnp.asarray(pc[None])
     prefix_ids = jnp.asarray(ids[:, :-1])
@@ -242,7 +245,8 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
                     jnp.zeros((B, 1, cfg.action_dim), jnp.float32),
                 )
             fn = policy._diff_fn(ids.shape[1] - 1, 1, use_ddpm=False, **diff_kwargs)
-            fn_scalar = jax.jit(lambda *a: fn(*a).astype(jnp.float32).sum())
+            fn_scalar = jax.jit(lambda *a: fn(*a).astype(jnp.float32).sum(),
+                                compiler_options=policy.compiler_options)
 
             def run(noise):
                 return float(jax.device_get(
@@ -278,7 +282,8 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
         try:
             fn = policy._ar_fn(ids.shape[1], cfg.action_dim)
             fn_scalar = jax.jit(
-                lambda *a: sum(x.astype(jnp.float32).sum() for x in fn(*a))
+                lambda *a: sum(x.astype(jnp.float32).sum() for x in fn(*a)),
+                compiler_options=policy.compiler_options,
             )
             ids_d = jnp.asarray(ids)
 
@@ -438,6 +443,7 @@ def _emit(result, model_used, backend, extra=None):
         "model": model_used,
         "backend": backend,
         "prefill_scores": os.environ.get("MLA_PREFILL_SCORES", "fp32"),
+        "xla_options": os.environ.get("MLA_XLA_OPTIONS") or None,
         "ddim_steps": 8,
         "ddim8_chunks_per_sec": round(ddim8_chunks_per_sec, 3),
         "transfer_ms": round(result.get("transfer_ms", 0.0), 2),
@@ -531,6 +537,18 @@ def _run_single(model_id: str):
     import jax
 
     backend = jax.default_backend()
+    if backend == "tpu":
+        # Published serving configuration: XLA latency-hiding scheduler on
+        # the serving graphs — overlaps decode-chain weight DMA with MXU
+        # work, suffix step 10.84 -> 9.91 ms/step on the real v5e (chained
+        # A/B, scripts/sweep_suffix_flags.py; docs/kernels.md). TPU-gated:
+        # the option names are TPU-compiler-only and a CPU-degraded bench
+        # run must not feed them to the CPU client. Override with
+        # MLA_XLA_OPTIONS='{}' for the stock-scheduler configuration.
+        os.environ.setdefault(
+            "MLA_XLA_OPTIONS",
+            '{"xla_tpu_enable_latency_hiding_scheduler": "true"}',
+        )
     iters = 20 if backend == "tpu" else 3
     try:
         result = run_bench(model_id, iters=iters)

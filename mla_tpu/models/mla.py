@@ -61,6 +61,26 @@ def serving_scores_dtype_from_env() -> Optional[jnp.dtype]:
         else None
     )
 
+
+# XLA compiler options for the serving graphs (MLA_XLA_OPTIONS: a JSON dict
+# of option-name -> string value, e.g.
+# '{"xla_tpu_enable_latency_hiding_scheduler": "true"}').
+#
+# The latency-hiding scheduler overlaps each decode-chain dot's weight DMA
+# with the previous dot's MXU work, cutting the suffix denoise step
+# 10.84 -> 9.91 ms/step on the real v5e (chained-dispatch A/B, chain=16,
+# scripts/sweep_suffix_flags.py — docs/kernels.md "XLA scheduling-option
+# sweep"). Options ride jax.jit(compiler_options=...), reaching the REMOTE
+# TPU compile service (host XLA_FLAGS only configures the local CPU client).
+#
+# Same lazy contract as MLA_PREFILL_SCORES: resolved at MLAPolicy
+# construction, never at import; the library default (unset -> None) keeps
+# every non-serving caller on stock-scheduler programs and existing compile
+# caches. bench.py / scripts/serve.py setdefault the latency-hiding option.
+def serving_compiler_options_from_env() -> Optional[Dict[str, str]]:
+    raw = os.environ.get("MLA_XLA_OPTIONS", "")
+    return json.loads(raw) if raw else None
+
 # token-id constants of the Llama-2 + MLA vocabulary
 BOS_ID = 1
 EOS_ID = 2
@@ -602,6 +622,7 @@ class MLAPolicy:
         cache_margin: int = 32,
         fuse_weights: bool = True,
         prefill_scores_dtype: Any = "serving-default",
+        compiler_options: Any = "serving-default",
     ) -> None:
         if fuse_weights and cfg.llm_family == "llama":
             # serving-time qkv/gate-up fusion (fewer dispatches per layer)
@@ -623,7 +644,24 @@ class MLAPolicy:
             if prefill_scores_dtype == "serving-default"
             else prefill_scores_dtype
         )
+        # XLA compiler options for every serving graph (None = stock
+        # scheduler); env resolved HERE, at construction — see
+        # serving_compiler_options_from_env. Part of each _jit_cache
+        # signature, so flipping the attribute on a warmed policy
+        # recompiles instead of serving a stale graph.
+        self.compiler_options = (
+            serving_compiler_options_from_env()
+            if compiler_options == "serving-default"
+            else compiler_options
+        )
         self._jit_cache: Dict[Any, Any] = {}
+
+    def _opts_sig(self) -> Any:
+        return (
+            tuple(sorted(self.compiler_options.items()))
+            if self.compiler_options
+            else None
+        )
 
     # --- norm stats -------------------------------------------------------
     def _stats(self, unnorm_key: Optional[str], kind: str) -> Dict[str, Any]:
@@ -647,7 +685,8 @@ class MLAPolicy:
     ):
         sig = ("diff", prefix_len, tail_len, use_ddpm, cfg_scale, sampler,
                num_dpm_steps, num_ddim_steps, jnp.dtype(self.prefill_scores_dtype).name
-               if self.prefill_scores_dtype is not None else None)
+               if self.prefill_scores_dtype is not None else None,
+               self._opts_sig())
         if sig not in self._jit_cache:
             # prefix embeds = text(prefix_len) + fused block
             embed_len = prefix_len + self.cfg.fused_len
@@ -660,7 +699,7 @@ class MLAPolicy:
                 sched = gd.create_schedule(f"ddim{num_ddim_steps}", diffusion_steps=100)
             use_cfg = cfg_scale > 1.0
 
-            @jax.jit
+            @partial(jax.jit, compiler_options=self.compiler_options)
             def run(params, state, ids_prefix, tail_ids, images, pc, proprio, noise, key):
                 prefix = build_prefix_embeds(
                     params, state, self.cfg, ids_prefix, images, pc, with_uncond=use_cfg
@@ -691,11 +730,11 @@ class MLAPolicy:
         # Greedy argmax over logits is discrete — a near-tie can flip a token
         # — and the 'AR ids bit-exact' golden runs under fp32. The prefill is
         # ~2 ms of a ~115 ms AR call, so the lever buys ~2% here anyway.
-        sig = ("ar", prefix_len, num_tokens)
+        sig = ("ar", prefix_len, num_tokens, self._opts_sig())
         if sig not in self._jit_cache:
             cache_max = prefix_len + self.cfg.fused_len + num_tokens + self.cache_margin
 
-            @jax.jit
+            @partial(jax.jit, compiler_options=self.compiler_options)
             def run(params, state, ids_prefix, images, pc, proprio):
                 prefix = build_prefix_embeds(params, state, self.cfg, ids_prefix, images, pc)
                 kv, last_logits = prefill(params, self.cfg, prefix, cache_max,
@@ -718,11 +757,11 @@ class MLAPolicy:
         if num_beams > 1 and temperature > 0:
             raise ValueError("beam search and sampling are mutually exclusive")
         sig = ("gen", prefix_len, num_tokens, num_beams, temperature, top_k,
-               length_penalty)
+               length_penalty, self._opts_sig())
         if sig not in self._jit_cache:
             cache_max = prefix_len + self.cfg.fused_len + num_tokens + self.cache_margin
 
-            @jax.jit
+            @partial(jax.jit, compiler_options=self.compiler_options)
             def run(params, state, ids_prefix, images, pc, key):
                 prefix = build_prefix_embeds(params, state, self.cfg, ids_prefix, images, pc)
                 kv, last_logits = prefill(params, self.cfg, prefix, cache_max,

@@ -49,6 +49,15 @@ def main(argv=None):
     import jax  # noqa: F401  (backend init before building the policy)
     import numpy as np
 
+    if jax.default_backend() == "tpu":
+        # published serving configuration (matches bench.py/serve.py):
+        # latency-hiding scheduler on the serving graphs; TPU-gated since
+        # the option names are TPU-compiler-only
+        os.environ.setdefault(
+            "MLA_XLA_OPTIONS",
+            '{"xla_tpu_enable_latency_hiding_scheduler": "true"}',
+        )
+
     from bench import build_policy
     from mla_tpu.serving import BatchingServer
 

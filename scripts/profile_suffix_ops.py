@@ -45,7 +45,24 @@ def main():
                          "(bw_sweep,dots_only,dots_pallas,dots_noquant,"
                          "attn_only,suffix_full) — each variant is its own "
                          "7B compile, so flag sweeps run just suffix_full")
+    ap.add_argument("--chain", type=int, default=0,
+                    help="time N suffix steps CHAINED inside one dispatch "
+                         "(lax.fori_loop feeding eps back as x) and report "
+                         "the per-step time. The single-step probe's "
+                         "RTT-subtraction is only as good as the null-op "
+                         "calibration (~±3 ms drift on the dev tunnel, same "
+                         "order as the 10 ms signal); chaining divides the "
+                         "per-dispatch noise by N — the authoritative mode "
+                         "for flag A/Bs")
+    ap.add_argument("--compiler_options", default=None,
+                    help="JSON dict of XLA compiler options (flag names "
+                         "without leading dashes) applied to every timed "
+                         "graph via jax.jit(compiler_options=...). This is "
+                         "the mechanism that reaches the REMOTE TPU compile "
+                         "service — host XLA_FLAGS only configures the local "
+                         "CPU client, which rejects TPU-only flags outright")
     args = ap.parse_args()
+    compiler_options = json.loads(args.compiler_options) if args.compiler_options else None
     only = set(args.only.split(",")) if args.only else None
 
     def want(name):
@@ -177,11 +194,17 @@ def main():
         proprio = jnp.zeros((B, 1, cfg.action_dim), jnp.float32)
         tail = jnp.zeros((B, 1), jnp.int32)
         fn = mla_mod.make_suffix_denoise_fn(params, cfg, kv, P, proprio, tail)
+        if args.chain:
+            # eps has x's shape: feed it back so every step is loop-carried
+            # (nothing elidable) — mirrors the real sampler's data flow
+            out = jax.lax.fori_loop(
+                0, args.chain, lambda i, xx: fn(xx, t + i), x)
+            return out.sum()
         return fn(x, t).sum()
 
     # ---- timing harness ------------------------------------------------------
     def timeit(fn, *a, vary):
-        jfn = jax.jit(fn)
+        jfn = jax.jit(fn, compiler_options=compiler_options)
         aa = list(a)
         float(jax.device_get(jfn(*aa)))
         ts = []
@@ -216,6 +239,8 @@ def main():
     if want("suffix_full"):
         x0 = jnp.asarray(rng.normal(size=(B, cfg.action_horizon, cfg.action_dim)), jnp.float32)
         t_suffix = net(timeit(suffix_full, x0, jnp.full((B,), 99, jnp.int32), params, kv, vary=0))
+        if args.chain:
+            t_suffix /= args.chain
 
     kv_bytes = 2 * L * B * lcfg.num_kv_heads * cache_max * hd * 2
 
@@ -224,6 +249,8 @@ def main():
         "model": args.model, "backend": jax.default_backend(),
         "xla_flags": os.environ.get("XLA_FLAGS", ""),
         "libtpu_init_args": os.environ.get("LIBTPU_INIT_ARGS", ""),
+        "compiler_options": compiler_options,
+        "chain": args.chain or None,
         "dispatch_rtt_ms": round(t_null, 2),
         "weight_bytes_gb": round(wq_bytes / 1e9, 2),
         "bw_sweep_ms": r(t_bw),

@@ -50,6 +50,24 @@ import os  # noqa: E402
 
 os.environ.setdefault("MLA_PREFILL_SCORES", "bf16")
 
+
+def _serving_xla_options_default() -> None:
+    # Published serving configuration (matches bench.py): XLA latency-hiding
+    # scheduler on the serving graphs (suffix denoise 10.84 -> 9.91 ms/step
+    # on the real v5e; docs/kernels.md "XLA scheduling-option sweep").
+    # TPU-gated — the option names are TPU-compiler-only, and a CPU-hosted
+    # smoke run must not feed them to the CPU client. Resolved lazily at
+    # MLAPolicy construction like MLA_PREFILL_SCORES; override with
+    # MLA_XLA_OPTIONS='{}' for the stock scheduler.
+    import jax
+
+    if jax.default_backend() == "tpu":
+        os.environ.setdefault(
+            "MLA_XLA_OPTIONS",
+            '{"xla_tpu_enable_latency_hiding_scheduler": "true"}',
+        )
+
+
 from mla_tpu.serving import QueueFull  # noqa: E402
 
 
@@ -177,6 +195,7 @@ def main(argv=None):
     tokenizer = (
         load_llama_tokenizer(args.tokenizer) if args.tokenizer else SimpleTokenizer()
     )
+    _serving_xla_options_default()  # before the policy resolves its env
     policy = load_vla(args.checkpoint, use_ema=args.use_ema, tokenizer=tokenizer)
     server = BatchingServer(
         policy, buckets=args.buckets, max_wait_ms=args.max_wait_ms,

@@ -1,4 +1,4 @@
-"""XLA/libtpu scheduling-flag sweep over the suffix denoise step
+"""XLA scheduling-option sweep over the suffix denoise step
 (VERDICT r4 #4 — one positive attempt at the ~1.5 ms MXU-drain residue).
 
 Round-3 established the decode chain's 128 fused W8A8 dots measure ~9.4 ms
@@ -8,12 +8,16 @@ Pallas fusion LOSES 3x (kernel-boundary DMA stalls). The remaining lever
 this sweep probes is the XLA-side schedule: scoped-VMEM budget (deeper
 weight-DMA double buffering) and the latency-hiding scheduler.
 
-Each flag set runs `profile_suffix_ops.py --only suffix_full` in a FRESH
-subprocess (XLA flags are process-level) with a per-flag-set compilation
-cache dir (the persistent cache key does not include XLA_FLAGS, so sharing
-one dir would silently serve the baseline executable back). Results are
-printed as one JSON line per flag set + a summary table; the docs table in
-docs/kernels.md records the outcome either way.
+Mechanism: the options ride `jax.jit(compiler_options=...)` — NOT host
+XLA_FLAGS. On this box the local client is CPU XLA (the axon plugin
+forwards compilation to a remote TPU compile service), so TPU-only flags
+in XLA_FLAGS abort the process at startup ("Unknown flag in XLA_FLAGS");
+compiler_options travel inside CompileOptions.env_option_overrides and are
+interpreted by the remote TPU compiler. Each option set still runs in a
+FRESH subprocess with a per-set compilation cache dir (belt and
+suspenders; options do enter the cache key, process isolation keeps one
+bad set from poisoning the rest). Results are printed as one JSON line per
+set + a summary table; docs/kernels.md records the outcome either way.
 
 Usage: python scripts/sweep_suffix_flags.py [--iters 8]
 """
@@ -29,14 +33,14 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-FLAG_SETS = {
-    "baseline": "",
-    "vmem64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
-    "latency_hiding": "--xla_tpu_enable_latency_hiding_scheduler=true",
-    "vmem64m+lhs": (
-        "--xla_tpu_scoped_vmem_limit_kib=65536 "
-        "--xla_tpu_enable_latency_hiding_scheduler=true"
-    ),
+OPTION_SETS = {
+    "baseline": {},
+    "vmem64m": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    "latency_hiding": {"xla_tpu_enable_latency_hiding_scheduler": "true"},
+    "vmem64m+lhs": {
+        "xla_tpu_scoped_vmem_limit_kib": "65536",
+        "xla_tpu_enable_latency_hiding_scheduler": "true",
+    },
 }
 
 
@@ -44,25 +48,28 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--model", default="mla-7b-int8")
-    ap.add_argument("--sets", nargs="+", default=list(FLAG_SETS),
-                    help="subset of flag sets to run")
+    ap.add_argument("--sets", nargs="+", default=list(OPTION_SETS),
+                    help="subset of option sets to run")
     ap.add_argument("--only", default="suffix_full")
+    ap.add_argument("--chain", type=int, default=0,
+                    help="pass through to profile_suffix_ops.py --chain "
+                         "(N steps per dispatch; per-step numbers reported)")
     args = ap.parse_args()
 
     results = {}
     for name in args.sets:
-        flags = FLAG_SETS[name]
+        opts = OPTION_SETS[name]
         env = dict(os.environ)
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
-        # per-flag-set cache: the persistent cache key ignores XLA_FLAGS
         env["JAX_COMPILATION_CACHE_DIR"] = f"/tmp/mla_tpu_jax_cache_tpu_{name}"
-        print(f"--- {name}: XLA_FLAGS='{flags}'", file=sys.stderr)
-        p = subprocess.run(
-            [sys.executable, str(REPO / "scripts" / "profile_suffix_ops.py"),
-             "--model", args.model, "--iters", str(args.iters),
-             "--only", args.only],
-            capture_output=True, text=True, timeout=3600, env=env,
-        )
+        print(f"--- {name}: compiler_options={opts}", file=sys.stderr)
+        cmd = [sys.executable, str(REPO / "scripts" / "profile_suffix_ops.py"),
+               "--model", args.model, "--iters", str(args.iters),
+               "--only", args.only]
+        if args.chain:
+            cmd += ["--chain", str(args.chain)]
+        if opts:
+            cmd += ["--compiler_options", json.dumps(opts)]
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
         lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
         if p.returncode == 0 and lines:
             results[name] = json.loads(lines[-1])
@@ -73,7 +80,7 @@ def main():
             print(json.dumps({"set": name, "error": err}))
 
     base = results.get("baseline", {}).get("suffix_full_ms")
-    print("\nflag set            suffix_full_ms   delta", file=sys.stderr)
+    print("\noption set          suffix_full_ms   delta", file=sys.stderr)
     for name, r in results.items():
         v = r.get("suffix_full_ms")
         d = f"{v - base:+.2f}" if (v is not None and base) else "-"

@@ -25,6 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # defaults the PUBLISHED serving config MLA_PREFILL_SCORES=bf16) inside a
 # test must not flip numerics for anything else in this process.
 os.environ["MLA_PREFILL_SCORES"] = "fp32"
+# same contract for the serving XLA options (latency-hiding scheduler is
+# TPU-only; the CPU test suite must compile stock programs)
+os.environ["MLA_XLA_OPTIONS"] = ""
 
 # persistent compilation cache: re-runs skip XLA compiles
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mla_tpu_jax_cache")
