@@ -387,3 +387,38 @@ def test_eval_rlbench_sim_loop_with_fake_env(tmp_path):
     frames = list((out / "close_box" / "images" / "episode0").glob("*.png"))
     assert len(frames) == 2
     assert (out / "close_box" / "videos" / "episode0_video_steps.mp4").exists()
+
+
+def test_compiler_options_env_hook_and_cache_signature(policy, monkeypatch):
+    """MLA_XLA_OPTIONS contract (docs/kernels.md 'XLA scheduling-option
+    sweep'): lazy env resolution at construction, library default None
+    (conftest pins the var empty for the whole suite), and the option set
+    entering every _jit_cache signature so flipping the attribute on a
+    warmed policy recompiles instead of serving a stale graph."""
+    # suite-wide default: stock scheduler
+    assert mla_mod.serving_compiler_options_from_env() is None
+    assert policy.compiler_options is None
+
+    monkeypatch.setenv("MLA_XLA_OPTIONS", '{"xla_tpu_enable_latency_hiding_scheduler": "true"}')
+    assert mla_mod.serving_compiler_options_from_env() == {
+        "xla_tpu_enable_latency_hiding_scheduler": "true"
+    }
+    # already-constructed policies are not retroactively flipped
+    assert policy.compiler_options is None
+
+    # the sig must differ per option set (and be hashable/cacheable)
+    base_sig = policy._opts_sig()
+    policy.compiler_options = {"xla_tpu_enable_latency_hiding_scheduler": "true"}
+    try:
+        assert policy._opts_sig() != base_sig
+        assert hash(policy._opts_sig()) is not None
+        ids = np.asarray([[1, 5, 7, 29871]], dtype=np.int32)
+        before = set(policy._jit_cache)
+        # building the graph object under the new options must create a NEW
+        # cache entry, not reuse a stock-scheduler one (CPU: no execution)
+        policy._diff_fn(ids.shape[1] - 1, 1, use_ddpm=False)
+        new_keys = set(policy._jit_cache) - before
+        assert len(new_keys) == 1
+        assert next(iter(new_keys))[-1] == policy._opts_sig()
+    finally:
+        policy.compiler_options = None
