@@ -175,10 +175,17 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
     # tunnel backend), and vary an input every call (identical calls are served
     # from a remote result cache).
     # NB: wrapping a policy graph in an outer jit inlines it — the outer
-    # compile must carry the policy's compiler options or they are lost
+    # compile must carry the policy's compiler options or they are lost.
+    # And they must ride the OUTER jit only: JAX rejects compiler_options
+    # on a nested jit outright, so the policy graph is unwrapped
+    # (__wrapped__) before re-jitting.
+    def _scalar_wrap(fn, reduce=lambda out: out.astype(jnp.float32).sum()):
+        raw = getattr(fn, "__wrapped__", fn)
+        return jax.jit(lambda *a: reduce(raw(*a)),
+                       compiler_options=policy.compiler_options)
+
     fn = policy._diff_fn(ids.shape[1] - 1, 1, use_ddpm=False)
-    fn_s = jax.jit(lambda *a: fn(*a).astype(jnp.float32).sum(),
-                   compiler_options=policy.compiler_options)
+    fn_s = _scalar_wrap(fn)
     images_d = {"front_image": jnp.asarray(img[None])}
     pc_d = jnp.asarray(pc[None])
     prefix_ids = jnp.asarray(ids[:, :-1])
@@ -245,8 +252,7 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
                     jnp.zeros((B, 1, cfg.action_dim), jnp.float32),
                 )
             fn = policy._diff_fn(ids.shape[1] - 1, 1, use_ddpm=False, **diff_kwargs)
-            fn_scalar = jax.jit(lambda *a: fn(*a).astype(jnp.float32).sum(),
-                                compiler_options=policy.compiler_options)
+            fn_scalar = _scalar_wrap(fn)
 
             def run(noise):
                 return float(jax.device_get(
@@ -281,9 +287,8 @@ def run_bench(model_id: str, iters: int = 20, warmup: int = 2):
         scan decode of action_dim discretized tokens."""
         try:
             fn = policy._ar_fn(ids.shape[1], cfg.action_dim)
-            fn_scalar = jax.jit(
-                lambda *a: sum(x.astype(jnp.float32).sum() for x in fn(*a)),
-                compiler_options=policy.compiler_options,
+            fn_scalar = _scalar_wrap(
+                fn, reduce=lambda out: sum(x.astype(jnp.float32).sum() for x in out)
             )
             ids_d = jnp.asarray(ids)
 
