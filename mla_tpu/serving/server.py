@@ -200,6 +200,18 @@ class BatchingServer:
         if len(ring) > self._lat_window:
             del ring[: len(ring) - self._lat_window]
 
+    def reset_latency_stats(self) -> None:
+        """Clear the latency/phase rings (counters are left intact).
+
+        Benchmarks call this after their warmup phase so stats()'s
+        percentile blocks describe only steady-state calls — a warm
+        compile is a >60 s outlier that otherwise dominates p95/max.
+        """
+        with self._stats_lock:
+            for ring in (self._queue_wait_s, self._e2e_s,
+                         self._assemble_dispatch_s, self._finalize_block_s):
+                ring.clear()
+
     def close(self) -> None:
         if not self._closed:
             self._closed = True

@@ -106,6 +106,7 @@ def main(argv=None):
                 obs_pool[(c, r)] = make_obs(c * 1000 + r)
 
         warm_stats = srv.stats()
+        srv.reset_latency_stats()   # phase rings: steady-state calls only
         done = threading.Barrier(args.clients + 1)
         t_start = time.time()
 
@@ -141,6 +142,7 @@ def main(argv=None):
         "assemble_dispatch_ms": stats.get("assemble_dispatch_ms"),
         "finalize_block_ms": stats.get("finalize_block_ms"),
         "queue_wait_ms": stats.get("queue_wait_ms"),
+        "e2e_ms": stats.get("e2e_ms"),
         "note": "closed-loop clients via BatchingServer; raw uint8 frames, "
                 "CLIP preprocess on-device; includes host batching + "
                 "transfers + the dev tunnel's ~26 ms/dispatch RTT",

@@ -336,6 +336,23 @@ def test_latency_stats_and_batch_histogram():
     assert s["e2e_ms"]["max"] >= s["queue_wait_ms"]["max"]
 
 
+def test_reset_latency_stats_clears_rings_keeps_counters():
+    """Benchmarks reset after warmup so percentiles are steady-state only."""
+    policy = FakePolicy(delay_s=0.01)
+    with BatchingServer(policy, buckets=(1,), max_wait_ms=1) as srv:
+        srv.submit(*_obs(0.0), "close the box").result(timeout=10)
+        srv.reset_latency_stats()
+        s = srv.stats()
+        # counters survive the reset; the latency rings do not
+        assert s["requests"] == 1 and s["device_calls"] == 1
+        assert "e2e_ms" not in s and "queue_wait_ms" not in s
+        # rings repopulate from post-reset traffic only
+        srv.submit(*_obs(1.0), "close the box").result(timeout=10)
+        s = srv.stats()
+        assert s["e2e_ms"]["window"] == 1
+        assert s["requests"] == 2
+
+
 def test_metrics_endpoint_prometheus_format():
     from http.server import ThreadingHTTPServer
 
