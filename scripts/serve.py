@@ -49,6 +49,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import os  # noqa: E402
 
 os.environ.setdefault("MLA_PREFILL_SCORES", "bf16")
+# Persistent XLA compile cache (same dir as bench.py): without it every
+# fresh serve process pays the full remote compile for each bucket graph
+# (~10-15 min cold on the 7B flagship) instead of a cache load.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mla_tpu_jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def _serving_xla_options_default() -> None:
@@ -113,6 +118,43 @@ def render_prometheus(stats: dict) -> str:
             for q in ("p50", "p95", "max"):
                 lines.append(f'mla_serve_{key}{{quantile="{q}"}} {stats[key][q]}')
     return "\n".join(lines) + "\n"
+
+
+def warm_buckets(server, warm_lens, log=True) -> None:
+    """Drive one synthetic batch per (prompt length, bucket) through the
+    server BEFORE it accepts traffic: compiles (or persistent-cache-loads)
+    every bucket graph and pays the one-time weight upload up front, so no
+    live request eats a multi-minute compile. Raw uint8 frames — the
+    preferred protocol — so the warmed graphs match what /predict
+    dispatches. Graphs are keyed by prompt token length; warm the lengths
+    the deployment's prompts tokenize to."""
+    import time as _time
+
+    cfg = server.policy.cfg
+    rng = np.random.default_rng(0)
+    size = cfg.vision.image_size
+    img = rng.integers(0, 256, size=(3, size, size)).astype(np.uint8)
+    n_pts = getattr(getattr(cfg, "point", None), "input_points", 1024)
+    pc = rng.uniform(-0.5, 0.5, size=(n_pts, 3)).astype(np.float32)
+    saved_wait, server.max_wait_s = server.max_wait_s, 0.25  # coalesce warm rows
+    try:
+        for L in warm_lens:
+            if L < 2:
+                raise ValueError(f"warm_len {L}: prompt needs >= 2 tokens")
+            ids = np.concatenate(
+                [[1], np.full(max(L - 2, 0), 5, np.int64), [29871]]
+            ).astype(np.int32)[None, :]
+            for b in server.buckets:
+                t0 = _time.time()
+                futs = [server.submit(img, pc, input_ids=ids) for _ in range(b)]
+                for f in futs:
+                    f.result(timeout=3600)
+                if log:
+                    print(f"warm len={L} bucket={b}: {_time.time() - t0:.1f}s",
+                          file=sys.stderr, flush=True)
+    finally:
+        server.max_wait_s = saved_wait
+    server.reset_latency_stats()
 
 
 def make_handler(server, cfg):
@@ -186,6 +228,13 @@ def main(argv=None):
     p.add_argument("--max_pending", type=int, default=64,
                    help="pending-request cap; beyond it /predict sheds load "
                         "with HTTP 503 (0 = unbounded)")
+    p.add_argument("--warm_len", type=int, nargs="*", default=None,
+                   help="pre-compile every bucket graph at startup for these "
+                        "prompt token lengths (e.g. --warm_len 22); graphs are "
+                        "keyed by prompt length, so warm the lengths your "
+                        "deployment's prompts tokenize to. Without this the "
+                        "first request of each (length, bucket) pays the "
+                        "compile (or persistent-cache load) mid-traffic.")
     args = p.parse_args(argv)
 
     from mla_tpu.models.load import load_vla
@@ -202,6 +251,9 @@ def main(argv=None):
         sampler=args.sampler, num_dpm_steps=args.num_dpm_steps,
         max_pending=args.max_pending or None,
     )
+    if args.warm_len:
+        warm_buckets(server, args.warm_len)
+
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server, policy.cfg))
     print(f"serving on http://{args.host}:{args.port} "
           f"(sampler={args.sampler}, buckets={args.buckets})", flush=True)

@@ -523,3 +523,28 @@ def test_real_tiny_policy_through_server():
                                      proprios[1]], **kw)
     np.testing.assert_allclose(mixed[0], midpoint[0], rtol=1e-5, atol=1e-5)
     assert not np.allclose(mixed[0], raw_zero[0], atol=1e-4)
+
+
+def test_warm_buckets_compiles_every_bucket_before_traffic():
+    """scripts/serve.py --warm_len pre-drives one batch per (prompt length,
+    bucket) so live requests never eat a compile; stats rings are reset
+    afterwards but the compile calls remain counted."""
+    import serve as serve_mod
+
+    policy = FakePolicy()
+    with BatchingServer(policy, buckets=(1, 2, 4), max_wait_ms=1) as srv:
+        serve_mod.warm_buckets(srv, [22], log=False)
+        s = srv.stats()
+        # one device call per bucket, each exactly bucket-sized (coalesced)
+        assert s["batch_size_hist"] == {1: 1, 2: 1, 4: 1}
+        assert s["device_calls"] == 3 and s["padded_rows"] == 0
+        # latency rings were reset so steady-state percentiles stay clean
+        assert "e2e_ms" not in s
+        # warmed graphs saw the raw-uint8 protocol and the requested length
+        assert all(c["L"] == 22 for c in policy.calls)
+        # the batching window was restored after warmup
+        assert srv.max_wait_s == pytest.approx(1e-3)
+
+    with pytest.raises(ValueError, match="warm_len"):
+        with BatchingServer(FakePolicy(), buckets=(1,)) as srv2:
+            serve_mod.warm_buckets(srv2, [1], log=False)
