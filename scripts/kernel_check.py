@@ -30,6 +30,14 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mla_tpu_jax_cache_tpu")
 
+# env setdefault alone is DEAD in-process on this box (the axon .pth imports
+# jax at interpreter startup, freezing env-derived config defaults) — the
+# helper force-enables the cache via jax.config.update. Kept env vars above
+# so spawned subprocesses inherit them at startup, where they DO work.
+from mla_tpu.utils.compile_cache import enable_persistent_compile_cache  # noqa: E402
+
+enable_persistent_compile_cache()
+
 import jax  # noqa: E402  (backend resolution stays lazy)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

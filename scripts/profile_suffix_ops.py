@@ -35,6 +35,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mla_tpu_jax_cache_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+# env setdefault alone is DEAD in-process on this box (the axon .pth imports
+# jax at interpreter startup, freezing env-derived config defaults) — the
+# helper force-enables the cache via jax.config.update. Kept env vars above
+# so spawned subprocesses inherit them at startup, where they DO work.
+from mla_tpu.utils.compile_cache import enable_persistent_compile_cache  # noqa: E402
+
+enable_persistent_compile_cache()
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -29,14 +29,22 @@ os.environ["MLA_PREFILL_SCORES"] = "fp32"
 # TPU-only; the CPU test suite must compile stock programs)
 os.environ["MLA_XLA_OPTIONS"] = ""
 
-# persistent compilation cache: re-runs skip XLA compiles
+# persistent compilation cache: re-runs skip XLA compiles. The env vars are
+# kept ONLY for subprocess tests (golden drivers, distributed children) —
+# in THIS process jax was already imported at interpreter startup by the
+# axon plugin's .pth, so env-derived config defaults are frozen and the
+# setdefaults are dead; enable_persistent_compile_cache below does the real
+# in-process enablement via jax.config.update (utils/compile_cache.py).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mla_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
-# Belt and braces: pytest plugins may import jax before this conftest runs,
-# in which case the env vars above are too late — but the backend itself
-# initializes lazily, so forcing the platform through jax.config still works.
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from mla_tpu.utils.compile_cache import enable_persistent_compile_cache  # noqa: E402
+
+enable_persistent_compile_cache(
+    "/tmp/mla_tpu_jax_cache", min_compile_seconds=0.5, min_entry_size_bytes=0
+)

@@ -43,6 +43,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mla_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+# env setdefault alone is DEAD in-process on this box (the axon .pth imports
+# jax at interpreter startup) — force-enable via jax.config.update; the
+# helper reads the dir set above from os.environ.
+from mla_tpu.utils.compile_cache import enable_persistent_compile_cache  # noqa: E402
+
+enable_persistent_compile_cache()
+
 # The axon TPU plugin registers at interpreter startup (site .pth), BEFORE
 # the env lines above run; if the ambient env carried PALLAS_AXON_TPU_GEN,
 # a later jax.devices()/process_index() would initialize the registered TPU

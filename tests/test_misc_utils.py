@@ -76,3 +76,40 @@ def test_sampled_decode_runs():
     # confidences are valid probabilities and, for greedy, the max softmax
     assert gprobs.shape == (1, 4)
     assert ((gprobs > 0) & (gprobs <= 1)).all()
+
+
+def test_enable_persistent_compile_cache_survives_early_jax_import(tmp_path, monkeypatch):
+    """env setdefault is dead in-process (the axon .pth imports jax at
+    interpreter startup) — the helper must take effect via jax.config.update
+    and export the resolved dir for subprocesses; an exported env var wins
+    over the caller's default (sweep drivers isolate child cache dirs)."""
+    import os
+
+    import jax
+
+    from mla_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_secs = jax.config.jax_persistent_cache_min_compile_time_secs
+    old_bytes = jax.config.jax_persistent_cache_min_entry_size_bytes
+    try:
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+        monkeypatch.delenv("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", raising=False)
+        monkeypatch.delenv("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", raising=False)
+        got = enable_persistent_compile_cache(str(tmp_path), min_compile_seconds=2.0)
+        assert got == str(tmp_path)
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 2.0
+        assert os.environ["JAX_COMPILATION_CACHE_DIR"] == str(tmp_path)
+        from jax._src import compilation_cache as cc
+
+        assert cc.is_persistent_cache_enabled()
+        # exported env overrides the caller's default
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "override"))
+        assert enable_persistent_compile_cache(str(tmp_path)) == str(tmp_path / "override")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", old_secs)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", old_bytes)
+        if old_dir:
+            os.environ["JAX_COMPILATION_CACHE_DIR"] = old_dir
