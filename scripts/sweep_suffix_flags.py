@@ -41,6 +41,29 @@ OPTION_SETS = {
         "xla_tpu_scoped_vmem_limit_kib": "65536",
         "xla_tpu_enable_latency_hiding_scheduler": "true",
     },
+    # round-5 second wave: tune AROUND the adopted latency-hiding scheduler.
+    # 64M scoped VMEM measured +5.4% (fewer double-buffer slots); probe the
+    # other direction and the scheduler's own cost-model knobs instead.
+    "lhs+vmem24m": {
+        "xla_tpu_enable_latency_hiding_scheduler": "true",
+        "xla_tpu_scoped_vmem_limit_kib": "24576",
+    },
+    "lhs+slop98": {
+        "xla_tpu_enable_latency_hiding_scheduler": "true",
+        "xla_tpu_memory_limit_slop_factor": "98",
+    },
+    "lhs+rerun5": {
+        "xla_tpu_enable_latency_hiding_scheduler": "true",
+        "xla_latency_hiding_scheduler_rerun": "5",
+    },
+    "lhs+copybw": {
+        "xla_tpu_enable_latency_hiding_scheduler": "true",
+        "xla_tpu_async_copy_bandwidth_scaling_factor": "0.8",
+    },
+    "lhs+nodsr": {
+        "xla_tpu_enable_latency_hiding_scheduler": "true",
+        "xla_tpu_enable_dot_strength_reduction": "false",
+    },
 }
 
 
